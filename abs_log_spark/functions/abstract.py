@@ -1,0 +1,119 @@
+"""URI / query-string abstraction — abs-log's namesake transform.
+
+Reference semantics ([PK] expected upstream ``log_analyse.py`` /
+``common/common.py`` ``text_abstract()``; pinned by [B] north_star:
+"collapsing numeric/UUID path segments into patterns"):
+
+- ``uri_abs``: split the URI on ``/``; any segment that is all-digits or a
+  long hex/UUID-like run collapses to ``*``; rejoin.
+  ``/api/user/123/profile`` -> ``/api/user/*/profile``.
+- ``args_abs``: split the query string on ``&``; keep keys, wildcard values.
+  ``q=x&page=2`` -> ``q=*&page=*``.
+
+The volatile-segment rules are DATA (``SEGMENT_RULES``), not code, so they
+can be corrected in one place if the reference checkout ever becomes
+inspectable (SURVEY.md section 7 hard-part 5).
+
+Two implementations with identical semantics (tested for parity):
+
+- ``uri_abs_col`` / ``args_abs_col``: pure Spark builtin expressions
+  (``transform`` over ``split``) — JVM-side, codegen'd, oracle-checkable.
+- ``uri_abs_udf`` / ``args_abs_udf``: vectorized pandas UDFs (compiled regex
+  over Arrow batches) — the [B]-mandated vectorized path.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+#: Regexes marking a path segment as volatile (collapsed to ``*``).
+#: Order matters only for documentation; any match collapses the segment.
+SEGMENT_RULES: tuple[str, ...] = (
+    r"^[0-9]+$",            # pure digits: ids, timestamps
+    r"^[0-9a-fA-F-]{8,}$",  # long hex / UUID-ish runs (md5, uuid4, tokens)
+)
+
+WILDCARD = "*"
+
+# ---------------------------------------------------------------------------
+# Builtin-expression path (JVM, WholeStageCodegen)
+# ---------------------------------------------------------------------------
+
+
+def _segment_is_volatile(seg: Column) -> Column:
+    cond = F.lit(False)
+    for pat in SEGMENT_RULES:
+        cond = cond | seg.rlike(pat)
+    return cond
+
+
+def uri_abs_col(uri: Column) -> Column:
+    """Pure-Spark ``uri_abs``. NULL-safe: null uri -> null."""
+    return F.array_join(
+        F.transform(
+            F.split(uri, "/"),
+            lambda s: F.when(_segment_is_volatile(s), F.lit(WILDCARD)).otherwise(s),
+        ),
+        "/",
+    )
+
+
+def args_abs_col(args: Column) -> Column:
+    """Pure-Spark ``args_abs``: ``a=1&b=x`` -> ``a=*&b=*``; '' -> ''."""
+    return F.when(args.isNull(), F.lit(None)).otherwise(
+        F.array_join(
+            F.transform(
+                F.filter(F.split(args, "&"), lambda kv: kv != ""),
+                lambda kv: F.concat(
+                    F.element_at(F.split(kv, "=", 2), 1), F.lit("=" + WILDCARD)
+                ),
+            ),
+            "&",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vectorized pandas-UDF path (Arrow batches; [B] "no per-row Python")
+# ---------------------------------------------------------------------------
+
+_SEG_RE = [re.compile(p) for p in SEGMENT_RULES]
+
+
+def _abstract_uri_series(s: pd.Series) -> pd.Series:
+    def one(u):
+        if u is None:
+            return None
+        return "/".join(
+            WILDCARD if any(r.match(seg) for r in _SEG_RE) else seg
+            for seg in u.split("/")
+        )
+
+    return s.map(one, na_action="ignore")
+
+
+def _abstract_args_series(s: pd.Series) -> pd.Series:
+    def one(a):
+        if a is None:
+            return None
+        return "&".join(
+            kv.split("=", 1)[0] + "=" + WILDCARD for kv in a.split("&") if kv != ""
+        )
+
+    return s.map(one, na_action="ignore")
+
+
+# DataType objects (not DDL strings) so module import needs no live session.
+@pandas_udf(StringType())
+def uri_abs_udf(s: pd.Series) -> pd.Series:
+    return _abstract_uri_series(s)
+
+
+@pandas_udf(StringType())
+def args_abs_udf(s: pd.Series) -> pd.Series:
+    return _abstract_args_series(s)

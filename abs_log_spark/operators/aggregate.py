@@ -1,0 +1,146 @@
+"""Minute-grained summary aggregates — the heart of abs-log's semantics.
+
+Reference behavior ([PK] ``log_analyse.py``): per (site, minute, uri_abs)
+accumulate hits (PV), byte totals, response-time totals, and a quartile
+sketch (min/25%/50%/75%/max) of request_time; count invalid lines and
+error statuses alongside. Hand-rolled dict accumulation merged across
+multiprocessing workers == a partial+final hash aggregate, which Spark's
+``groupBy().agg()`` provides natively (map-side combine is automatic).
+
+Scale notes (10^12 rows):
+- ``approx_percentile`` is a mergeable sketch — partials combine inside the
+  shuffle like sums do, so the quantile columns add no extra pass. Exact
+  ``percentile`` (oracle path, DuckDB ``quantile_cont`` parity) buffers
+  per-group values and is reserved for tests/small scale.
+- Skew: a hot (sink, minute, uri_abs) group is bounded by requests/minute
+  per endpoint, but a hot ``source`` (Zipf src0 ~ 50%) concentrates in one
+  sink. ``salted_minute_agg`` demonstrates the two-phase split for the
+  sum/count measures; AQE skew handling covers the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+GROUP_KEYS = ("sink", "site", "minute", "uri_abs")
+
+
+def _quantiles(exact: bool):
+    col = F.col("rt")
+    if exact:
+        q = lambda p, name: F.percentile(col, F.lit(p)).alias(name)  # noqa: E731
+    else:
+        q = lambda p, name: F.percentile_approx(col, F.lit(p), F.lit(10000)).alias(name)  # noqa: E731
+    return [
+        F.min("rt").alias("rt_min"),
+        q(0.25, "rt_p25"),
+        q(0.5, "rt_p50"),
+        q(0.75, "rt_p75"),
+        F.max("rt").alias("rt_max"),
+    ]
+
+
+def minute_agg(
+    routed: DataFrame,
+    exact_quantiles: bool = False,
+    keys: tuple[str, ...] = GROUP_KEYS,
+) -> DataFrame:
+    """Per-minute summary per (sink, site, minute, uri_abs).
+
+    Invalid rows (``valid=false``) carry null minute/uri_abs and land in a
+    dedicated null-key group with ``invalid_hits`` — never silently dropped
+    ([PK] abs-log reports invalid_hits next to hits).
+    """
+    df = routed.withColumn("minute", F.date_trunc("minute", F.col("ts")))
+    aggs = [
+        F.sum(F.when(F.col("valid"), 1).otherwise(0)).alias("pv"),
+        F.coalesce(F.sum("bytes"), F.lit(0)).cast("long").alias("bytes_sum"),
+        F.sum("rt").alias("rt_sum"),
+        F.avg("rt").alias("rt_avg"),
+        *_quantiles(exact_quantiles),
+        F.sum(F.when(F.col("status") >= 400, 1).otherwise(0)).alias("err_hits"),
+        F.sum(F.when(~F.col("valid"), 1).otherwise(0)).alias("invalid_hits"),
+    ]
+    return df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+
+def salted_minute_agg(
+    routed: DataFrame,
+    salt_buckets: int = 16,
+    keys: tuple[str, ...] = GROUP_KEYS,
+) -> DataFrame:
+    """Two-phase (salted) aggregate for hot keys ([B] "salted aggregation for
+    hot sources").
+
+    Phase 1 groups by (keys, salt = hash(doc_id) % B) so a hot group spreads
+    over B reducers; phase 2 combines the partials. Only decomposable
+    measures (sums/counts/min/max) — quantiles stay on the sketch path where
+    Spark already merges partials per shuffle partition.
+    """
+    df = routed.withColumn("minute", F.date_trunc("minute", F.col("ts"))).withColumn(
+        "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets))
+    )
+    partial = df.groupBy(*[F.col(k) for k in keys], F.col("_salt")).agg(
+        F.sum(F.when(F.col("valid"), 1).otherwise(0)).alias("_pv"),
+        F.coalesce(F.sum("bytes"), F.lit(0)).cast("long").alias("_bytes"),
+        F.sum("rt").alias("_rt_sum"),
+        F.count("rt").alias("_rt_n"),
+        F.min("rt").alias("_rt_min"),
+        F.max("rt").alias("_rt_max"),
+        F.sum(F.when(F.col("status") >= 400, 1).otherwise(0)).alias("_err"),
+        F.sum(F.when(~F.col("valid"), 1).otherwise(0)).alias("_inv"),
+    )
+    return partial.groupBy(*[F.col(k) for k in keys]).agg(
+        F.sum("_pv").alias("pv"),
+        F.sum("_bytes").cast("long").alias("bytes_sum"),
+        F.sum("_rt_sum").alias("rt_sum"),
+        (F.sum("_rt_sum") / F.sum("_rt_n")).alias("rt_avg"),
+        F.min("_rt_min").alias("rt_min"),
+        F.max("_rt_max").alias("rt_max"),
+        F.sum("_err").alias("err_hits"),
+        F.sum("_inv").alias("invalid_hits"),
+    )
+
+
+def error_view(routed: DataFrame) -> DataFrame:
+    """abs-log's ``error`` report: per-minute breakdown by error status
+    ([PK] ``log_show.py`` error view). Only valid rows with status >= 400.
+    """
+    return (
+        routed.where(F.col("valid") & (F.col("status") >= 400))
+        .withColumn("minute", F.date_trunc("minute", F.col("ts")))
+        .groupBy("sink", "minute", "status")
+        .agg(F.count("*").alias("hits"))
+    )
+
+
+def trend(minute_df: DataFrame, grain: str = "hour") -> DataFrame:
+    """abs-log's ``distribution`` view: regroup minute docs into coarser
+    buckets (minute|ten_min|hour|day) ([PK] ``log_show --group_by``).
+
+    Re-aggregates the minute summaries — sums/counts/min/max combine exactly;
+    quantiles are NOT re-derivable from quartile columns, so (like the
+    reference) the coarse view carries totals only.
+    """
+    m = F.col("minute")
+    if grain == "minute":
+        bucket = m
+    elif grain == "ten_min":
+        bucket = F.timestamp_seconds(F.floor(F.unix_timestamp(m) / 600) * 600)
+    elif grain == "hour":
+        bucket = F.date_trunc("hour", m)
+    elif grain == "day":
+        bucket = F.date_trunc("day", m)
+    else:
+        raise ValueError(f"unknown grain: {grain}")
+    return minute_df.groupBy(
+        F.col("sink"), bucket.alias("bucket")
+    ).agg(
+        F.sum("pv").alias("pv"),
+        F.sum("bytes_sum").cast("long").alias("bytes_sum"),
+        F.sum("rt_sum").alias("rt_sum"),
+        F.min("rt_min").alias("rt_min"),
+        F.max("rt_max").alias("rt_max"),
+        F.sum("err_hits").alias("err_hits"),
+        F.sum("invalid_hits").alias("invalid_hits"),
+    )

@@ -1,0 +1,63 @@
+"""Checkpoint/resume over input partitions ([B] north_rule: "resumable from
+checkpoint with per-partition lineage").
+
+abs-log resumes via a per-file byte offset saved after each cron run ([PK]
+offset/bookmark record). The Spark-first equivalent at 10^12 rows is
+partition-level lineage: the input is laid out by ``part_bucket`` (hash of
+doc_id — the Iceberg-bucket stand-in), a checkpoint table records each
+bucket that completed the routed write, and a restart anti-joins the input
+against completed buckets so only unfinished partitions are re-read (with a
+partitioned source this prunes whole files, not just rows).
+
+Idempotence: the routed write uses dynamic partition overwrite keyed by
+``part_bucket`` — re-running a bucket replaces exactly that bucket, so a
+crash between write and checkpoint append cannot duplicate rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from abs_log_spark.catalog import Catalog
+
+CHECKPOINT_TABLE = "checkpoint"
+CHECKPOINT_SCHEMA = (
+    "run_id string, stage string, partition_key string, status string, ts timestamp"
+)
+
+
+def completed_partitions(spark: SparkSession, cat: Catalog, stage: str) -> set[str]:
+    if not cat.exists(CHECKPOINT_TABLE):
+        return set()
+    rows = (
+        cat.read(spark, CHECKPOINT_TABLE)
+        .where((F.col("stage") == stage) & (F.col("status") == "done"))
+        .select("partition_key")
+        .distinct()
+        .collect()
+    )
+    return {r.partition_key for r in rows}
+
+
+def filter_pending(df: DataFrame, done: set[str], key_col: str = "part_bucket") -> DataFrame:
+    """Drop already-completed partitions. With a disk layout partitioned by
+    ``key_col`` this predicate becomes partition pruning at the scan."""
+    if not done:
+        return df
+    return df.where(~F.col(key_col).cast("string").isin(*sorted(done)))
+
+
+def mark_done(
+    spark: SparkSession,
+    cat: Catalog,
+    run_id: str,
+    stage: str,
+    partition_keys: list[str],
+) -> None:
+    if not partition_keys:
+        return
+    rows = [(run_id, stage, str(k), "done") for k in partition_keys]
+    df = spark.createDataFrame(
+        rows, "run_id string, stage string, partition_key string, status string"
+    ).withColumn("ts", F.current_timestamp())
+    cat.append(df, CHECKPOINT_TABLE)

@@ -1,0 +1,66 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Scale rationale (100 TB / 1000-executor design, tested on local[32]):
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting
+  ([B] north_star: "AQE skew-join handling ... for hot sources").
+- Arrow on: every Python crossing is an Arrow batch, never per-row
+  ([B] input_hint: "vectorized pandas/Arrow UDFs (no per-row Python)").
+- Session time zone pinned to UTC so timestamp semantics match the DuckDB
+  oracle and are cluster-independent.
+- Dynamic partition overwrite: idempotent re-writes of routed partitions on
+  resume (checkpoint/restart semantics, [B] north_rule "resumable from
+  checkpoint").
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs applied to every session the engine creates. On a real cluster these
+#: land in spark-defaults; values chosen to survive a 100x scale-up:
+#: shuffle.partitions is a *starting* value — AQE coalesces down or splits
+#: skewed partitions at runtime, so oversizing is safe.
+ENGINE_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Token arrays are wide (one int per character); keep Arrow batches
+    # moderate so executor-python memory stays bounded at 100 TB scale.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    "spark.sql.parquet.compression.codec": "snappy",
+    # local-mode friendly; AQE re-coalesces. On a 1000-executor cluster this
+    # would be ~2-3x total cores instead.
+    "spark.sql.shuffle.partitions": "64",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def default_master() -> str:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    return os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+
+
+def get_spark(
+    app_name: str = "abs-log-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard confs."""
+    builder = SparkSession.builder.appName(app_name).master(master or default_master())
+    confs = dict(ENGINE_CONFS)
+    if shuffle_partitions is not None:
+        confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_confs:
+        confs.update(extra_confs)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,142 @@
+"""End-to-end pipeline: routing invariants, aggregates, resume idempotency."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from abs_log_spark.operators.aggregate import minute_agg, salted_minute_agg, trend
+from abs_log_spark.plans.pipeline import PipelineConfig, run_pipeline, transform
+from abs_log_spark.sources.synth import gen_sequences, gen_sources_dim
+
+N = 600
+
+
+def test_routing_and_token_equality(spark):
+    seq = gen_sequences(spark, N, invalid_every=10)
+    dim = gen_sources_dim(spark)
+    routed = transform(seq, dim)
+    # every input row routed exactly once (J3 semantics)
+    assert routed.count() == N
+    assert routed.where(F.col("sink").isNull()).count() == 0
+    # token-array equality per routed row vs input [B]
+    bad = (
+        routed.alias("r")
+        .join(seq.alias("s"), "doc_id")
+        .where(F.col("r.tokens") != F.col("s.tokens"))
+        .count()
+    )
+    assert bad == 0
+    # sink fan-out matches the dim rule (source k -> sink k%3)
+    per_sink = {r.sink: r.c for r in routed.groupBy("sink").agg(F.count("*").alias("c")).collect()}
+    assert sum(per_sink.values()) == N and set(per_sink) <= {"sink_a", "sink_b", "sink_c"}
+
+
+def test_minute_agg_matches_bruteforce(spark):
+    seq = gen_sequences(spark, N, invalid_every=10)
+    dim = gen_sources_dim(spark)
+    routed = transform(seq, dim)
+    agg = minute_agg(routed, exact_quantiles=True)
+    # cross-check one group against a driver-side brute force
+    rows = routed.where(F.col("valid")).collect()
+    import collections
+    import statistics
+
+    groups = collections.defaultdict(list)
+    for r in rows:
+        minute = r.ts.replace(second=0, microsecond=0)
+        groups[(r.sink, r.site, minute, r.uri_abs)].append(r)
+    got = {
+        (r.sink, r.site, r.minute, r.uri_abs): r
+        for r in agg.where(F.col("uri_abs").isNotNull()).collect()
+    }
+    assert set(got) == set(groups)
+    for k, rs in groups.items():
+        g = got[k]
+        assert g.pv == len(rs)
+        assert g.bytes_sum == sum(r.bytes for r in rs)
+        assert abs(g.rt_sum - sum(r.rt for r in rs)) < 1e-9
+        assert g.err_hits == sum(1 for r in rs if r.status >= 400)
+        rts = sorted(r.rt for r in rs)
+        assert g.rt_min == rts[0] and g.rt_max == rts[-1]
+        qs = statistics.quantiles(rts, n=4, method="inclusive") if len(rts) > 1 else [rts[0]] * 3
+        assert abs(g.rt_p50 - qs[1]) < 1e-9
+    # invalid rows land in the null-key group, never dropped
+    inv = agg.where(F.col("uri_abs").isNull()).agg(F.sum("invalid_hits").alias("i")).collect()[0].i
+    assert inv == N // 10
+
+
+def test_salted_agg_equals_plain(spark):
+    seq = gen_sequences(spark, N)
+    dim = gen_sources_dim(spark)
+    routed = transform(seq, dim)
+    def norm(df):
+        # float sums associate differently across the two plans; round them
+        return df.select(
+            "sink", "site", "minute", "uri_abs", "pv", "bytes_sum",
+            F.round("rt_sum", 6).alias("rt_sum"),
+            F.round("rt_avg", 6).alias("rt_avg"),
+            "rt_min", "rt_max", "err_hits", "invalid_hits",
+        )
+
+    plain = norm(minute_agg(routed))
+    salted = norm(salted_minute_agg(routed))
+    diff = plain.exceptAll(salted).count() + salted.exceptAll(plain).count()
+    assert diff == 0
+
+
+def test_trend_regroup(spark):
+    seq = gen_sequences(spark, N)
+    dim = gen_sources_dim(spark)
+    m = minute_agg(transform(seq, dim))
+    hourly = trend(m, "hour")
+    assert hourly.agg(F.sum("pv")).collect()[0][0] == m.agg(F.sum("pv")).collect()[0][0]
+    assert hourly.select("bucket").distinct().count() == 2  # 2-hour fixture window
+
+
+def test_pipeline_run_and_resume(spark, tmp_catalog):
+    seq = gen_sequences(spark, N, invalid_every=10)
+    dim = gen_sources_dim(spark)
+    r1 = run_pipeline(spark, tmp_catalog, seq, dim, run_id="r1")
+    assert r1["rows_in"] == N and r1["buckets_processed"] == 8
+    total = sum(
+        tmp_catalog.read(spark, f"routed_{s}").count()
+        for s in ("sink_a", "sink_b", "sink_c")
+        if tmp_catalog.exists(f"routed_{s}")
+    )
+    assert total == N
+    agg1 = {
+        s: tmp_catalog.read(spark, f"minute_agg_{s}").agg(F.sum("pv")).collect()[0][0]
+        for s in ("sink_a", "sink_b", "sink_c")
+        if tmp_catalog.exists(f"minute_agg_{s}")
+    }
+    # re-run: all buckets checkpointed -> nothing reprocessed, outputs identical
+    r2 = run_pipeline(spark, tmp_catalog, seq, dim, run_id="r2")
+    assert r2["buckets_processed"] == 0 and r2["buckets_skipped"] == 8
+    total2 = sum(
+        tmp_catalog.read(spark, f"routed_{s}").count()
+        for s in ("sink_a", "sink_b", "sink_c")
+        if tmp_catalog.exists(f"routed_{s}")
+    )
+    assert total2 == N  # no duplicates
+    for s, v in agg1.items():
+        assert tmp_catalog.read(spark, f"minute_agg_{s}").agg(F.sum("pv")).collect()[0][0] == v
+
+
+def test_pipeline_partial_resume(spark, tmp_catalog):
+    """Simulate a crash after half the buckets: second run completes the rest."""
+    from abs_log_spark.plans import checkpoint as ckpt
+
+    seq = gen_sequences(spark, N)
+    dim = gen_sources_dim(spark)
+    half = seq.where(F.col("part_bucket") < 4)
+    run_pipeline(spark, tmp_catalog, half, dim, run_id="r1")
+    done = ckpt.completed_partitions(spark, tmp_catalog, "routed")
+    assert done == {"0", "1", "2", "3"}
+    r2 = run_pipeline(spark, tmp_catalog, seq, dim, run_id="r2")
+    assert r2["buckets_processed"] == 4  # only the missing half
+    total = sum(
+        tmp_catalog.read(spark, f"routed_{s}").count()
+        for s in ("sink_a", "sink_b", "sink_c")
+        if tmp_catalog.exists(f"routed_{s}")
+    )
+    assert total == N
