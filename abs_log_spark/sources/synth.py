@@ -39,26 +39,32 @@ def _uuid_from_md5(md5col):
     )
 
 
-def log_line_expr(i):
-    """Render the canonical access-log line for row index ``i`` (a Column).
+def ip_expr(i):
+    return F.format_string("10.%d.%d.%d", i % 7, (i / 7).cast("long") % 13, i % 251)
 
-    Format: ``<ip> - [<time_local>] "<method> <uri>[?<args>] HTTP/1.1"
-    <status> <bytes> <rt>`` — FIXTURES.md A1a, all fields deterministic in i.
-    """
-    ip = F.format_string(
-        "10.%d.%d.%d", i % 7, (i / 7).cast("long") % 13, i % 251
-    )
+
+def time_local_expr(i):
+    """nginx $time_local; minute spread over a fixed 2h window (A1a)."""
     minute_idx = i % 120
-    time_local = F.format_string(
+    return F.format_string(
         "01/Jan/2024:%02d:%02d:%02d +0000",
         (minute_idx / 60).cast("long"),
         minute_idx % 60,
         i % 60,
     )
-    method = F.when(i % 10 < 8, "GET").otherwise("POST")
+
+
+def method_expr(i):
+    return F.when(i % 10 < 8, "GET").otherwise("POST")
+
+
+def uri_expr(i):
+    """5 URI templates cycling on i%5, with volatile digit/hex/uuid segments
+    the abstraction step must collapse. Closed-form in i so a SQL oracle can
+    state the expected uri_abs as literals (CASE i%5)."""
     md5i = F.md5(i.cast("string"))
     num = (i * 13) % 100000
-    uri = (
+    return (
         F.when(i % 5 == 0, F.format_string("/api/user/%d/profile", num))
         .when(i % 5 == 1, F.concat(F.lit("/item/"), md5i))
         .when(i % 5 == 2, F.lit("/static/app.js"))
@@ -73,31 +79,54 @@ def log_line_expr(i):
         )
         .otherwise(F.lit("/search"))
     )
+
+
+def args_expr(i):
+    num = (i * 13) % 100000
     word = F.element_at(
         F.array(*[F.lit(w) for w in _WORDS]), (i % len(_WORDS) + 1).cast("int")
     )
-    args = (
+    return (
         F.when(i % 3 == 0, F.lit(""))
         .when(i % 3 == 1, F.format_string("q=%s&page=%d", word, i % 40))
         .otherwise(F.format_string("id=%d", num))
     )
-    target = F.when(args == "", uri).otherwise(F.concat(uri, F.lit("?"), args))
-    status = (
+
+
+def status_expr(i):
+    return (
         F.when(i % 50 < 45, F.lit(200))
         .when(i % 50 < 48, F.lit(404))
         .otherwise(F.lit(500))
     )
-    nbytes = 100 + (i * i) % 20000
-    rt = F.format_string("%.3f", F.lit(0.001) * (1 + (i * 31) % 5000))
+
+
+def bytes_expr(i):
+    return 100 + (i * i) % 20000
+
+
+def rt_str_expr(i):
+    return F.format_string("%.3f", F.lit(0.001) * (1 + (i * 31) % 5000))
+
+
+def log_line_expr(i):
+    """Render the canonical access-log line for row index ``i`` (a Column).
+
+    Format: ``<ip> - [<time_local>] "<method> <uri>[?<args>] HTTP/1.1"
+    <status> <bytes> <rt>`` — FIXTURES.md A1a, all fields deterministic in i.
+    """
+    uri = uri_expr(i)
+    args = args_expr(i)
+    target = F.when(args == "", uri).otherwise(F.concat(uri, F.lit("?"), args))
     return F.format_string(
         '%s - [%s] "%s %s HTTP/1.1" %d %d %s',
-        ip,
-        time_local,
-        method,
+        ip_expr(i),
+        time_local_expr(i),
+        method_expr(i),
         target,
-        status,
-        nbytes,
-        rt,
+        status_expr(i),
+        bytes_expr(i),
+        rt_str_expr(i),
     )
 
 
