@@ -1,0 +1,201 @@
+"""Similarity primitives for dedup / near-dup detection at training-data scale.
+
+Design constraint: every hash is derived from ``md5`` of strings, so the
+exact same algorithm is expressible in ANSI SQL (DuckDB oracle) — no
+engine-specific hash functions. The lexicographic MIN of ``md5(seed||'|'||x)``
+is a valid MinHash permutation proxy: md5 is a fixed pseudo-random
+permutation of the shingle universe per seed, and taking the min of its hex
+encoding picks the same element as taking the min of the integer value.
+
+Scale notes (100 TB corpus):
+- shingling explodes each doc into ~n_words rows; MinHash reduces each doc
+  to K columns BEFORE any join — the only shuffles are groupBy(doc) and the
+  band-bucket join, both on bounded-size rows (no raw text moves).
+- LSH banding turns all-pairs O(N^2) into per-bucket joins; bucket sizes are
+  bounded by collision probability, and a hot bucket (boilerplate dup
+  cluster) is exactly the AQE skew-join case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+MINHASH_SEEDS = 8
+BAND_SIZE = 2  # 4 bands of 2 -> candidate if any band matches
+SIMHASH_BITS = 32
+HEX_DIGITS = "0123456789abcdef"
+
+
+def words_col(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def shingles_col(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingles as an array<string> (space-joined).
+
+    Guarded: docs with < k words yield an empty array (Spark ``sequence``
+    descends when start > stop, unlike SQL generate_series).
+    """
+    ws = words_col(text)
+    n = F.size(ws)
+    make = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(k)]),
+    )
+    return F.when(n >= k, make).otherwise(F.array().cast("array<string>"))
+
+
+def exploded_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    return df.select("doc_id", F.explode(shingles_col(F.col(text_col), k)).alias("s"))
+
+
+def minhash_signature(shingle_rows: DataFrame, seeds: int = MINHASH_SEEDS) -> DataFrame:
+    """(doc_id, s) rows -> one row per doc with h0..h{K-1} minhash columns.
+
+    One groupBy(doc_id) with K conditional-min aggregates — the seed
+    dimension is exploded once, never joined.
+    """
+    seeded = shingle_rows.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(i) for i in range(seeds)])).alias("seed"),
+        "s",
+    ).withColumn("h", F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("s"))))
+    aggs = [
+        F.min(F.when(F.col("seed") == i, F.col("h"))).alias(f"h{i}")
+        for i in range(seeds)
+    ]
+    return seeded.groupBy("doc_id").agg(*aggs)
+
+
+def band_buckets(sig: DataFrame, seeds: int = MINHASH_SEEDS, band_size: int = BAND_SIZE) -> DataFrame:
+    """Signature -> (doc_id, band, bucket) rows; bucket = md5 of the band's
+    hashes. Candidate pairs are docs sharing any (band, bucket)."""
+    bands = []
+    for b in range(seeds // band_size):
+        cols = [F.col(f"h{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("bucket"))
+        )
+    return sig.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def candidate_pairs(buckets: DataFrame) -> DataFrame:
+    """Self-join per (band, bucket); dedup pairs across bands."""
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def exact_jaccard(pairs: DataFrame, shingle_rows: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (the verify step after
+    LSH recall). Set sizes via distinct; intersection via shingle equi-join
+    restricted to the candidate pairs (never all-pairs)."""
+    ds = shingle_rows.distinct()
+    sizes = ds.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        pairs.join(ds.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            ds.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.s") == F.col("sb.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"ni": 0})
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni")), 6).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (md5-hex bit trick: engine-agnostic, SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+def simhash_bits_rows(df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id) -> (doc_id, p, contrib) rows: for each distinct word, take
+    the first bits/4 hex chars of md5(word); bit p contributes +1/-1."""
+    w = df.select(
+        "doc_id", F.explode(F.array_distinct(words_col(F.col(text_col)))).alias("w")
+    ).withColumn("hx", F.substring(F.md5("w"), 1, bits // 4))
+    p = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("p")
+    rows = w.select("doc_id", "hx", p)
+    digit = (
+        F.instr(F.lit(HEX_DIGITS), F.substring("hx", (F.col("p") / 4).cast("int") + 1, 1)) - 1
+    )
+    # integer divisor per bit-in-nibble (8,4,2,1): exact, SQL-identical
+    divisor = F.element_at(F.array(F.lit(8), F.lit(4), F.lit(2), F.lit(1)), (F.col("p") % 4).cast("int") + 1)
+    bit = (digit / divisor).cast("long") % 2
+    return rows.withColumn("contrib", (bit * 2 - 1).cast("long")).select(
+        "doc_id", "p", "contrib"
+    )
+
+
+def simhash_signature(df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
+    """-> (doc_id, simhash) with simhash a bits-length '0'/'1' string
+    (string form keeps the SQL oracle trivially identical)."""
+    per_bit = (
+        simhash_bits_rows(df, text_col, bits)
+        .groupBy("doc_id", "p")
+        .agg(F.sum("contrib").alias("ssum"))
+        .withColumn("c", F.when(F.col("ssum") > 0, F.lit("1")).otherwise(F.lit("0")))
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "c"))), lambda x: x["c"]
+            ),
+            "",
+        ).alias("simhash")
+    )
+
+
+def hamming_col(a: Column, b: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Hamming distance between two equal-length bit strings."""
+    terms = [
+        F.when(F.substring(a, i + 1, 1) != F.substring(b, i + 1, 1), 1).otherwise(0)
+        for i in range(bits)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Embedding math (double-cast so DuckDB list_dot_product on ::DOUBLE[] agrees)
+# ---------------------------------------------------------------------------
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(dot_col(a, a))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))

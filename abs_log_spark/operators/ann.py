@@ -1,0 +1,141 @@
+"""Approximate-nearest-neighbor + embedding near-dup over array<float> columns.
+
+- brute_force_knn: exact cosine top-k — the correctness baseline. Scale
+  shape: broadcast the (small) query set against the full corpus; one pass,
+  no shuffle except the final per-query top-k (TakeOrdered-style window).
+- blocked_near_dup: all-pairs restricted to a blocking key (here ``label``;
+  in production an IVF/LSH bucket id) — the standard way to keep pair count
+  at O(sum block^2) instead of O(N^2).
+- lsh_bucket_knn: the scale path — deterministic hyperplane LSH buckets
+  (hyperplane signs derived from md5 of the dimension index, so the oracle
+  can reproduce them), search only within the query's bucket.
+
+All math is double-cast so DuckDB (::DOUBLE[]) agrees to 1e-6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from abs_log_spark.functions.similarity import cosine_col, dot_col
+
+
+def brute_force_knn(
+    emb: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``emb``: (vec_id, embedding); ``queries``: (q_id, q_embedding).
+    Excludes self-matches. Deterministic ties: vec_id ascending.
+    """
+    joined = emb.crossJoin(F.broadcast(queries)).where(F.col("vec_id") != F.col("q_id"))
+    scored = joined.select(
+        "q_id",
+        "vec_id",
+        F.round(cosine_col(F.col("q_embedding"), F.col("embedding")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cosine", "rank")
+    )
+
+
+def blocked_near_dup(
+    emb: DataFrame, block_col: str = "label", min_cosine: float = 0.99
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within blocks (labels / LSH buckets)."""
+    a = emb.alias("a")
+    b = emb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine_col(F.col("a.embedding"), F.col("b.embedding")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= min_cosine)
+    )
+
+
+def hyperplane_sign_expr(embedding, plane: int):
+    """Deterministic pseudo-hyperplane: weight for dim d is +1 if the first
+    hex char of md5('<plane>|<d>') is < '8' else -1. Reproducible in SQL."""
+    dim = F.size(embedding)
+    weights = F.transform(
+        F.sequence(F.lit(0), dim - 1),
+        lambda d: F.when(
+            F.substring(F.md5(F.concat_ws("|", F.lit(str(plane)), d.cast("string"))), 1, 1)
+            < "8",
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0)),
+    )
+    proj = F.aggregate(
+        F.zip_with(embedding, weights, lambda x, w: x.cast("double") * w),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(proj > 0, F.lit("1")).otherwise(F.lit("0"))
+
+
+def lsh_bucket_col(embedding, planes: int = 4):
+    """Concatenated hyperplane signs -> 2^planes buckets."""
+    return F.concat(*[hyperplane_sign_expr(embedding, p) for p in range(planes)])
+
+
+def lsh_bucket_knn(emb: DataFrame, queries: DataFrame, k: int = 5, planes: int = 4) -> DataFrame:
+    """ANN: search only vectors in the query's LSH bucket. Trades recall for
+    a 2^planes candidate reduction; at 100 TB the bucket id becomes the
+    table's partition key so a query touches one partition."""
+    e = emb.withColumn("bucket", lsh_bucket_col(F.col("embedding"), planes))
+    q = queries.withColumn("bucket", lsh_bucket_col(F.col("q_embedding"), planes))
+    joined = e.join(F.broadcast(q), "bucket").where(F.col("vec_id") != F.col("q_id"))
+    scored = joined.select(
+        "q_id",
+        "vec_id",
+        F.round(cosine_col(F.col("q_embedding"), F.col("embedding")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cosine", "rank")
+    )
+
+
+def centroid_ivf_assign(emb: DataFrame, n_lists: int = 16) -> DataFrame:
+    """IVF-style list assignment with deterministic 'centroids': list id =
+    argmax over n_lists of dot(embedding, pseudo-centroid(l)) where the
+    pseudo-centroid is the +-1 hyperplane of md5('ivf<l>|<d>'). Stands in
+    for k-means centroids (which need training); the routing/plumbing —
+    assign, partition by list, probe nearest lists — is the real shape."""
+    def centroid_dot(l: int):
+        dim = F.size(F.col("embedding"))
+        weights = F.transform(
+            F.sequence(F.lit(0), dim - 1),
+            lambda d: F.when(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit(f"ivf{l}"), d.cast("string"))), 1, 1
+                )
+                < "8",
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+        return F.aggregate(
+            F.zip_with(F.col("embedding"), weights, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    best = F.lit(0)
+    best_score = centroid_dot(0)
+    for l in range(1, n_lists):
+        s = centroid_dot(l)
+        best = F.when(s > best_score, F.lit(l)).otherwise(best)
+        best_score = F.greatest(best_score, s)
+    return emb.withColumn("ivf_list", best.cast("int"))

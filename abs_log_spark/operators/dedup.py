@@ -1,0 +1,115 @@
+"""Deduplication operators for training-data curation.
+
+Four families, all DataFrame-native:
+
+- exact: hash-groupBy on a content fingerprint (md5). One shuffle on the
+  fingerprint; keeps min(doc_id) per group (deterministic survivor).
+- MinHash + LSH: shingle -> K minhash columns -> band buckets -> bucket
+  self-join for candidates -> exact-Jaccard verify. The scale path: never
+  materializes all pairs, only per-bucket pairs.
+- SimHash: 32-bit signature from word unigrams; chunk-LSH (4 x 8-bit) for
+  candidates; Hamming-distance verify.
+- n-gram Jaccard: the exact verifier used standalone on a candidate set.
+
+Embedding near-dup lives in operators/ann.py (cosine path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from abs_log_spark.functions.similarity import (
+    band_buckets,
+    candidate_pairs,
+    exact_jaccard,
+    exploded_shingles,
+    hamming_col,
+    minhash_signature,
+    simhash_signature,
+)
+from abs_log_spark.functions.text import fingerprint_md5_col
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: survivors = min(id) per md5(text) group. Returns
+    (fingerprint, keep_id, n_dups)."""
+    return (
+        df.withColumn("fingerprint", fingerprint_md5_col(F.col(text_col)))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, text_col: str = "text", min_jaccard: float = 0.5
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding, verified by exact Jaccard.
+    Returns (doc_a, doc_b, jaccard) with jaccard >= min_jaccard."""
+    sh = exploded_shingles(df, text_col)
+    sig = minhash_signature(sh)
+    cand = candidate_pairs(band_buckets(sig))
+    jac = exact_jaccard(cand, sh)
+    return jac.where(F.col("jaccard") >= min_jaccard)
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str = "text", max_hamming: int = 6
+) -> DataFrame:
+    """Near-dup pairs via SimHash chunk-LSH (any equal 8-bit chunk at the
+    same position -> candidate), verified by Hamming distance."""
+    sig = simhash_signature(df, text_col)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.substring("simhash", c * 8 + 1, 8).alias("val"),
+                )
+                for c in range(4)
+            ])
+        ).alias("cb"),
+    ).select("doc_id", "simhash", F.col("cb.chunk").alias("chunk"), F.col("cb.val").alias("val"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", hamming_col(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, pairs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Exact n-gram Jaccard for an explicit candidate-pair set."""
+    return exact_jaccard(pairs, exploded_shingles(df, text_col))
+
+
+def with_near_dup_copies(df: DataFrame, id_offset: int = 1_000_000, suffix: str = " zqx zqy zqz") -> DataFrame:
+    """Test helper: append a mutated near-copy of every doc (id+offset,
+    three extra tail words) so near-dup detection has known positives.
+    Deterministic; the SQL oracle applies the identical union."""
+    mutated = df.select(
+        (F.col("doc_id") + id_offset).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(suffix)).alias("text"),
+    )
+    return df.select("doc_id", "text").unionByName(mutated)

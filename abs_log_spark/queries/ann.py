@@ -1,1 +1,142 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity-search queries over the embeddings table (array<float>):
+brute-force cosine top-k baseline, LSH-bucketed ANN, blocked embedding
+near-dup. See operators/ann.py for the scale rationale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from abs_log_spark.operators.ann import (
+    blocked_near_dup,
+    brute_force_knn,
+    centroid_ivf_assign,
+    lsh_bucket_knn,
+)
+from abs_log_spark.queries import register
+from abs_log_spark.sources.readers import read_table
+
+_COS = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+_KNN_SQL = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+scored AS (
+  SELECT q_id, vec_id, {_COS.format(a='qe', b='ev')} AS cosine
+  FROM q CROSS JOIN e WHERE vec_id <> q_id
+)
+SELECT q_id, vec_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register("ann_knn_bruteforce", _KNN_SQL)
+def ann_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for query vectors vec_id<5 (the ANN baseline)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    return brute_force_knn(emb.select("vec_id", "embedding"), queries, k=5)
+
+
+_PLANES_CTE = """
+planes AS (
+  SELECT p, list_transform(generate_series(0, 63),
+           d -> CASE WHEN substr(md5(p::VARCHAR || '|' || d::VARCHAR), 1, 1) < '8'
+                     THEN 1.0 ELSE -1.0 END) AS w
+  FROM (SELECT unnest(generate_series(0, 3)) AS p)
+)
+"""
+
+_LSH_KNN_SQL = f"""
+WITH {_PLANES_CTE},
+eb AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+sigs AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN list_dot_product(ev, w) > 0 THEN '1' ELSE '0' END,
+                    '' ORDER BY p) AS bucket
+  FROM eb CROSS JOIN planes GROUP BY vec_id
+),
+q AS (SELECT s.vec_id AS q_id, e.ev AS qe, s.bucket
+      FROM sigs s JOIN eb e ON e.vec_id = s.vec_id WHERE s.vec_id < 5),
+cands AS (SELECT s.vec_id, e.ev, s.bucket FROM sigs s JOIN eb e ON e.vec_id = s.vec_id),
+scored AS (
+  SELECT q.q_id, c.vec_id, {_COS.format(a='q.qe', b='c.ev')} AS cosine
+  FROM q JOIN cands c ON q.bucket = c.bucket AND c.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register("ann_knn_lsh", _LSH_KNN_SQL)
+def ann_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via deterministic hyperplane-LSH buckets (16 buckets, search only
+    the query's bucket) — the scale path; recall vs the brute-force baseline
+    is observable by comparing the two queries."""
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    return lsh_bucket_knn(emb, queries, k=5, planes=4)
+
+
+_NEAR_DUP_SQL = f"""
+WITH base AS (
+  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 4 = 0
+),
+alle AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev, label FROM base
+  UNION ALL
+  SELECT vec_id + 1000000, list_prepend(-embedding[1], embedding[2:])::DOUBLE[], label
+  FROM base
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.ev AS ea, b.ev AS eb
+  FROM alle a JOIN alle b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM (
+  SELECT vec_a, vec_b, {_COS.format(a='ea', b='eb')} AS cosine FROM pairs
+) WHERE cosine >= 0.9
+"""
+
+
+@register("ann_near_dup_blocked", _NEAR_DUP_SQL)
+def ann_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup within label blocks; known positives are
+    first-element-negated copies (cos = 1 - 2*e0^2/|e|^2, typically > 0.9)."""
+    emb = read_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 4 == 0)
+    e = F.col("embedding")
+    mutated = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.concat(
+            F.array(-F.element_at(e, 1)), F.slice(e, 2, F.size(e) - 1)
+        ).alias("embedding"),
+        "label",
+    )
+    alle = emb.select("vec_id", "embedding", "label").unionByName(mutated)
+    return blocked_near_dup(alle, block_col="label", min_cosine=0.9).select(
+        "vec_a", "vec_b", "cosine"
+    )
+
+
+@register("ann_ivf_assign", None)  # plumbing demo: rows-only driver check
+def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style list assignment (argmax over 16 deterministic pseudo-
+    centroids) + per-list occupancy — the partition-routing half of an IVF
+    index. No SQL oracle (16-way argmax SQL adds no verification value);
+    the driver records a rows-only check and unit tests cover determinism."""
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned = centroid_ivf_assign(emb, n_lists=16)
+    return assigned.groupBy("ivf_list").agg(
+        F.count("*").alias("n_vectors"),
+        F.min("vec_id").alias("min_vec_id"),
+    )

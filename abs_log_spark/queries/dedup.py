@@ -1,1 +1,207 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication queries: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Known positives are synthesized deterministically INSIDE each query (union
+with exact or mutated copies at doc_id+1000000) so the detectors have
+non-trivial output; the oracle applies the identical union. See
+operators/dedup.py for the scale rationale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from abs_log_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    with_near_dup_copies,
+)
+from abs_log_spark.queries import register
+from abs_log_spark.sources.readers import read_table
+
+_EXACT_SQL = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+)
+SELECT md5(text) AS fingerprint,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM all_docs
+GROUP BY 1
+"""
+
+
+@register("dedup_exact_md5", _EXACT_SQL)
+def dedup_exact_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy on md5(text)): every doc gets an exact copy
+    at doc_id+1e6; the survivor must be the original (min id)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    return dedup_exact(docs.unionByName(copies))
+
+
+#: The shared shingle/minhash CTE pipeline, also used by the jaccard oracle.
+_MINHASH_CTES = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' zqx zqy zqz' FROM documents
+),
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM all_docs),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+  FROM w
+),
+seeded AS (
+  SELECT doc_id, seed, md5(seed::VARCHAR || '|' || s) AS h
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) seeds
+),
+sig AS (
+  SELECT doc_id,
+         min(CASE WHEN seed = 0 THEN h END) AS h0,
+         min(CASE WHEN seed = 1 THEN h END) AS h1,
+         min(CASE WHEN seed = 2 THEN h END) AS h2,
+         min(CASE WHEN seed = 3 THEN h END) AS h3,
+         min(CASE WHEN seed = 4 THEN h END) AS h4,
+         min(CASE WHEN seed = 5 THEN h END) AS h5,
+         min(CASE WHEN seed = 6 THEN h END) AS h6,
+         min(CASE WHEN seed = 7 THEN h END) AS h7
+  FROM seeded GROUP BY 1
+),
+bb AS (
+  SELECT doc_id, 0 AS band, md5(h0 || ',' || h1) AS bucket FROM sig
+  UNION ALL SELECT doc_id, 1, md5(h2 || ',' || h3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(h4 || ',' || h5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(h6 || ',' || h7) FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bb a JOIN bb b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+ds AS (SELECT DISTINCT doc_id, s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS ni
+  FROM cand c
+  JOIN ds sa ON sa.doc_id = c.doc_a
+  JOIN ds sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+  GROUP BY 1, 2
+)
+"""
+
+_MINHASH_SQL = (
+    _MINHASH_CTES
+    + """
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT c.doc_a, c.doc_b,
+         round(COALESCE(i.ni, 0) / (na.n + nb.n - COALESCE(i.ni, 0)), 6) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes na ON na.doc_id = c.doc_a
+  JOIN sizes nb ON nb.doc_id = c.doc_b
+) WHERE jaccard >= 0.5
+"""
+)
+
+
+@register("dedup_minhash_lsh", _MINHASH_SQL)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (8 lexicographic-min md5 permutations) + LSH banding (4x2)
+    -> candidate pairs -> exact-Jaccard verify >= 0.5. Mutated tail-append
+    copies are the known positives (J ~= (n-2)/(n+1))."""
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(with_near_dup_copies(docs), min_jaccard=0.5)
+
+
+_SIMHASH_SQL = """
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' zqx zqy zqz' FROM documents
+),
+wd AS (
+  SELECT DISTINCT doc_id, wrd FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS wrd FROM all_docs
+  )
+),
+h AS (SELECT doc_id, substr(md5(wrd), 1, 8) AS hx FROM wd),
+bits AS (
+  SELECT doc_id, p,
+         CASE WHEN ((strpos('0123456789abcdef', substr(hx, p // 4 + 1, 1)) - 1)
+                    // ([8,4,2,1])[p % 4 + 1]) % 2 = 1
+              THEN 1 ELSE -1 END AS contrib
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS p) ps
+),
+per_bit AS (
+  SELECT doc_id, p, CASE WHEN sum(contrib) > 0 THEN '1' ELSE '0' END AS c
+  FROM bits GROUP BY 1, 2
+),
+sig AS (SELECT doc_id, string_agg(c, '' ORDER BY p) AS simhash FROM per_bit GROUP BY 1),
+chunks AS (
+  SELECT doc_id, simhash, ch, substr(simhash, ch * 8 + 1, 8) AS val
+  FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS ch) cs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sa, b.simhash AS sb
+  FROM chunks a JOIN chunks b
+    ON a.ch = b.ch AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT doc_a, doc_b,
+         CAST(32 - len(list_filter(generate_series(1, 32),
+                                   i -> substr(sa, i, 1) = substr(sb, i, 1))) AS BIGINT)
+           AS hamming
+  FROM cand
+) WHERE hamming <= 6
+"""
+
+
+@register("dedup_simhash", _SIMHASH_SQL)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-32 (md5-hex bit trick over distinct words) + 8-bit chunk LSH
+    -> Hamming <= 6 near-dup pairs."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = simhash_pairs(with_near_dup_copies(docs), max_hamming=6)
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+_NGRAM_SQL = (
+    _MINHASH_CTES
+    + """
+, myc AS (SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b FROM documents),
+myinter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS ni
+  FROM myc c
+  JOIN ds sa ON sa.doc_id = c.doc_a
+  JOIN ds sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       round(COALESCE(i.ni, 0) / (na.n + nb.n - COALESCE(i.ni, 0)), 6) AS jaccard
+FROM myc c
+LEFT JOIN myinter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes na ON na.doc_id = c.doc_a
+JOIN sizes nb ON nb.doc_id = c.doc_b
+"""
+)
+
+
+@register("dedup_ngram_jaccard", _NGRAM_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard on an explicit candidate set (every
+    (doc, mutated-copy) pair): the standalone verifier operator."""
+    from abs_log_spark.functions.similarity import exact_jaccard, exploded_shingles
+
+    docs = read_table(spark, sf_dir, "documents")
+    all_docs = with_near_dup_copies(docs)
+    pairs = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 1_000_000).alias("doc_b"),
+    )
+    return exact_jaccard(pairs, exploded_shingles(all_docs))

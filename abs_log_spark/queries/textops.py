@@ -1,1 +1,132 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis queries: language ID, quality scoring, token counting,
+fingerprinting — the curation surface a training-data pipeline needs over
+the ``documents`` table. All builtin-expression (JVM) with exact SQL twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from abs_log_spark.functions.text import (
+    LANG_STOPWORDS,
+    TOKEN_REGEX,
+    fingerprint_md5_col,
+    lang_id_col,
+    n_words_col,
+    quality_score_col,
+    rolling_hash_col,
+    token_count_col,
+)
+from abs_log_spark.queries import register
+from abs_log_spark.sources.readers import read_table
+
+
+def _stop_sql(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return (
+        f"len(list_filter(string_split(text,' '), w -> list_contains([{lst}], w)))"
+    )
+
+
+_LANG_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_stop_sql('de')} AS s_de, {_stop_sql('en')} AS s_en,
+         {_stop_sql('es')} AS s_es, {_stop_sql('fr')} AS s_fr,
+         {_stop_sql('zh')} AS s_zh
+  FROM documents
+)
+SELECT doc_id, lang,
+  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'unknown'
+       WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+       ELSE 'zh' END AS lang_pred
+FROM scored
+"""
+
+
+@register("text_lang_id", _LANG_SQL)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID (max score, ties -> lang code ascending,
+    zero -> unknown)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", lang_id_col(F.col("text")).alias("lang_pred")
+    )
+
+
+_STATS_SQL = f"""
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+       CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS INT) AS n_tokens,
+       round(
+         0.4 * least(length(text) / 400.0, 1.0)
+       + 0.3 * least(((length(text) - (len(string_split(text,' ')) - 1))
+                      / len(string_split(text,' '))) / 8.0, 1.0)
+       + 0.3 * (length(regexp_replace(text, '[^a-z]', '', 'g'))
+                / greatest(length(text), 1)), 6) AS quality
+FROM documents
+"""
+
+
+@register("text_stats_quality", _STATS_SQL)
+def text_stats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char/word/BPE-ish token counts + composite quality score."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(t).cast("int").alias("n_chars"),
+        n_words_col(t).cast("int").alias("n_words"),
+        token_count_col(t).cast("int").alias("n_tokens"),
+        quality_score_col(t).alias("quality"),
+    )
+
+
+_FP_SQL = """
+SELECT doc_id,
+       md5(text) AS fp_md5,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+         (a, b) -> (a * 31 + b) % 1000000007) AS fp_rolling
+FROM documents
+"""
+
+
+@register("text_fingerprints", _FP_SQL)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 + polynomial rolling hash over code points
+    (the builtin ``aggregate`` fold; oracle uses list_reduce — same fold)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fingerprint_md5_col(F.col("text")).alias("fp_md5"),
+        rolling_hash_col(F.col("text")).alias("fp_rolling"),
+    )
+
+
+_MM_SQL = """
+SELECT doc_id,
+       'image/fake' AS media_type,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5,
+       CAST(strlen(text) % 640 + 16 AS INT) AS width,
+       CAST((strlen(text) * 7) % 480 + 16 AS INT) AS height,
+       CAST(strlen(text) % 10 + 1 AS INT) AS n_frames
+FROM documents
+"""
+
+
+@register("multimodal_features", _MM_SQL)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing: UTF-8 bytes as an opaque media column,
+    Arrow-batched mapInPandas feature extraction (decode stubbed — see
+    abs_log_spark.multimodal), metadata checked against byte-level SQL."""
+    from abs_log_spark.multimodal import attach_payload, extract_features
+
+    docs = read_table(spark, sf_dir, "documents")
+    return extract_features(attach_payload(docs))
