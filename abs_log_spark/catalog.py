@@ -68,3 +68,36 @@ class Catalog:
 
     def drop(self, table: str) -> None:
         shutil.rmtree(self.path(table), ignore_errors=True)
+
+    def promote_partitions(self, staging_table: str, table_prefix: str) -> dict[str, list[str]]:
+        """Promote a staging write partitioned by (sink, <key>) into per-sink
+        tables by moving partition directories: ``staging/sink=S/<key>=V`` ->
+        ``<prefix>S/<key>=V`` (replacing any existing target partition).
+
+        This is the parquet stand-in for Iceberg's atomic partition replace:
+        ONE data pass writes every sink's rows; routing to per-sink tables is
+        a metadata operation, not a second scan. Returns {sink: [key dirs]}.
+        """
+        staging = self.path(staging_table)
+        moved: dict[str, list[str]] = {}
+        if not os.path.isdir(staging):
+            return moved
+        for sink_dir in sorted(os.listdir(staging)):
+            if not sink_dir.startswith("sink="):
+                continue
+            sink = sink_dir.split("=", 1)[1]
+            target_root = self.path(f"{table_prefix}{sink}")
+            os.makedirs(target_root, exist_ok=True)
+            moved[sink] = []
+            src_root = os.path.join(staging, sink_dir)
+            for part_dir in sorted(os.listdir(src_root)):
+                src = os.path.join(src_root, part_dir)
+                if not os.path.isdir(src):
+                    continue
+                dst = os.path.join(target_root, part_dir)
+                shutil.rmtree(dst, ignore_errors=True)
+                os.replace(src, dst)
+                moved[sink].append(part_dir)
+            self._known.add(f"{table_prefix}{sink}")
+        shutil.rmtree(staging, ignore_errors=True)
+        return moved

@@ -80,32 +80,32 @@ def args_abs_col(args: Column) -> Column:
 
 # ---------------------------------------------------------------------------
 # Vectorized pandas-UDF path (Arrow batches; [B] "no per-row Python")
+#
+# The segment rules are restated as slash-anchored regexes ((?<![^/]) /
+# (?![^/]) = segment boundary, fixed-width so both Python re and Java regex
+# accept them) so a whole Arrow batch abstracts in a few C-level str.replace
+# passes instead of a per-row split/join loop. Parity with the builtin
+# transform() path is asserted in tests (test_abstract.test_dual_path_parity).
+# Undefined edge: empty '&&' segments in args (never produced by nginx) —
+# the builtin path drops them, the regex path preserves them.
 # ---------------------------------------------------------------------------
 
-_SEG_RE = [re.compile(p) for p in SEGMENT_RULES]
+#: SEGMENT_RULES re-anchored to full path segments.
+SEGMENT_RULES_ANCHORED: tuple[str, ...] = tuple(
+    r"(?<![^/])" + pat.strip("^$") + r"(?![^/])" for pat in SEGMENT_RULES
+)
+_ARGS_KV_PATTERN = r"([^&=]+)(=[^&]*)?"
 
 
 def _abstract_uri_series(s: pd.Series) -> pd.Series:
-    def one(u):
-        if u is None:
-            return None
-        return "/".join(
-            WILDCARD if any(r.match(seg) for r in _SEG_RE) else seg
-            for seg in u.split("/")
-        )
-
-    return s.map(one, na_action="ignore")
+    out = s
+    for pat in SEGMENT_RULES_ANCHORED:
+        out = out.str.replace(pat, WILDCARD, regex=True)
+    return out
 
 
 def _abstract_args_series(s: pd.Series) -> pd.Series:
-    def one(a):
-        if a is None:
-            return None
-        return "&".join(
-            kv.split("=", 1)[0] + "=" + WILDCARD for kv in a.split("&") if kv != ""
-        )
-
-    return s.map(one, na_action="ignore")
+    return s.str.replace(_ARGS_KV_PATTERN, r"\1=" + WILDCARD, regex=True)
 
 
 # DataType objects (not DDL strings) so module import needs no live session.

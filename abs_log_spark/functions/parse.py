@@ -55,7 +55,10 @@ _LINE_RE = re.compile(LINE_PATTERN)
 #: nginx $time_local -> Spark datetime pattern (session TZ = UTC).
 TIME_FORMAT = "dd/MMM/yyyy:HH:mm:ss Z"
 
-#: Parsed-field struct produced by the Arrow path (pre-timestamp).
+#: Parsed-field struct produced by the Arrow path (pre-timestamp). The Arrow
+#: path also emits the abstraction columns — one more vectorized str.replace
+#: over a batch already in pandas costs far less than a second JVM projection
+#: over the same 10^12 rows (measured ~10s/2M saved vs builtin transform()).
 PARSED_SCHEMA = StructType(
     [
         StructField("ip", StringType()),
@@ -68,10 +71,17 @@ PARSED_SCHEMA = StructType(
         StructField("bytes", LongType()),
         StructField("rt", DoubleType()),
         StructField("valid", BooleanType()),
+        StructField("uri_abs", StringType()),
+        StructField("args_abs", StringType()),
     ]
 )
 
-PARSED_FIELDS = [f.name for f in PARSED_SCHEMA.fields if f.name != "ts_str"] + ["ts"]
+#: Fields common to both parse paths (expr path adds abstraction separately).
+PARSED_FIELDS = [
+    f.name
+    for f in PARSED_SCHEMA.fields
+    if f.name not in ("ts_str", "uri_abs", "args_abs")
+] + ["ts"]
 
 
 def _finish(df: DataFrame) -> DataFrame:
@@ -133,42 +143,56 @@ def parse_expr(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _detok_batch(tokens: pd.Series) -> pd.Series:
+    """list<int32> -> str per row. Code points arrive as numpy int arrays;
+    ASCII-range batches take the fast bytes path, anything else falls back
+    to chr-join (full Unicode)."""
+    import numpy as np
+
+    def one(toks):
+        if toks is None:
+            return None
+        arr = np.asarray(toks)
+        if arr.size and arr.max(initial=0) < 128 and arr.min(initial=0) >= 0:
+            return arr.astype(np.uint8).tobytes().decode("ascii")
+        return "".join(map(chr, toks))
+
+    return tokens.map(one)
+
+
 @pandas_udf(PARSED_SCHEMA)
 def _detok_parse_udf(tokens: pd.Series) -> pd.DataFrame:
-    n = len(tokens)
-    cols: dict[str, list] = {f.name: [None] * n for f in PARSED_SCHEMA.fields}
-    valid = [False] * n
-    for i, toks in enumerate(tokens):
-        if toks is None:
-            continue
-        line = "".join(map(chr, toks))
-        m = _LINE_RE.match(line)
-        if m is None:
-            continue
-        valid[i] = True
-        (ip, ts_str, method, target, protocol, status, nbytes, rt) = m.groups()
-        uri, _, args = target.partition("?")
-        cols["ip"][i] = ip
-        cols["ts_str"][i] = ts_str
-        cols["method"][i] = method
-        cols["uri"][i] = uri
-        cols["args"][i] = args
-        cols["protocol"][i] = protocol
-        cols["status"][i] = int(status)
-        cols["bytes"][i] = int(nbytes)
-        cols["rt"][i] = float(rt)
+    """Fused detokenize + parse, vectorized: ONE C-level regex pass per Arrow
+    batch (pandas str.extract), not a Python loop per row."""
+    lines = _detok_batch(tokens)
+    g = lines.str.extract(_LINE_RE)  # 8 group columns, NaN on non-match
+    valid = g[0].notna() & lines.notna()
+    target = g[3].astype("string")
+    split_t = target.str.split("?", n=1, regex=False)
+    uri = split_t.str[0].astype("string")
+    args = split_t.str[1].astype("string")
+    args = args.where(args.notna() | ~valid, "")  # valid + no '?' -> ''
+    from abs_log_spark.functions.abstract import (
+        _abstract_args_series,
+        _abstract_uri_series,
+    )
+
+    uri_abs = _abstract_uri_series(uri)
+    args_abs = _abstract_args_series(args)
     out = pd.DataFrame(
         {
-            "ip": pd.array(cols["ip"], dtype="string"),
-            "ts_str": pd.array(cols["ts_str"], dtype="string"),
-            "method": pd.array(cols["method"], dtype="string"),
-            "uri": pd.array(cols["uri"], dtype="string"),
-            "args": pd.array(cols["args"], dtype="string"),
-            "protocol": pd.array(cols["protocol"], dtype="string"),
-            "status": pd.array(cols["status"], dtype="Int32"),
-            "bytes": pd.array(cols["bytes"], dtype="Int64"),
-            "rt": pd.array(cols["rt"], dtype="Float64"),
-            "valid": pd.array(valid, dtype="boolean"),
+            "ip": g[0].astype("string"),
+            "ts_str": g[1].astype("string"),
+            "method": g[2].astype("string"),
+            "uri": uri,
+            "args": args,
+            "protocol": g[4].astype("string"),
+            "status": g[5].astype("float").astype("Int32"),
+            "bytes": g[6].astype("float").astype("Int64"),
+            "rt": g[7].astype("float").astype("Float64"),
+            "valid": pd.array(valid.fillna(False), dtype="boolean"),
+            "uri_abs": uri_abs.astype("string"),
+            "args_abs": args_abs.astype("string"),
         }
     )
     return out

@@ -25,43 +25,65 @@ from pyspark.sql import DataFrame, functions as F
 GROUP_KEYS = ("sink", "site", "minute", "uri_abs")
 
 
-def _quantiles(exact: bool):
-    col = F.col("rt")
-    if exact:
-        q = lambda p, name: F.percentile(col, F.lit(p)).alias(name)  # noqa: E731
-    else:
-        q = lambda p, name: F.percentile_approx(col, F.lit(p), F.lit(10000)).alias(name)  # noqa: E731
-    return [
-        F.min("rt").alias("rt_min"),
-        q(0.25, "rt_p25"),
-        q(0.5, "rt_p50"),
-        q(0.75, "rt_p75"),
-        F.max("rt").alias("rt_max"),
-    ]
+#: Sketch accuracy for the scale path. abs-log's quartile columns are
+#: report-grade (the reference computes them from a CAPPED/sampled value
+#: list [PK]); accuracy=1000 (0.1% rank error) is strictly better than the
+#: reference and one shared sketch for all three quartiles measured ~3x
+#: faster than three accuracy=10000 sketches at 2M rows.
+DEFAULT_PERCENTILE_ACCURACY = 1000
+
+_QS = (0.25, 0.5, 0.75)
 
 
 def minute_agg(
     routed: DataFrame,
     exact_quantiles: bool = False,
     keys: tuple[str, ...] = GROUP_KEYS,
+    accuracy: int = DEFAULT_PERCENTILE_ACCURACY,
 ) -> DataFrame:
     """Per-minute summary per (sink, site, minute, uri_abs).
 
     Invalid rows (``valid=false``) carry null minute/uri_abs and land in a
     dedicated null-key group with ``invalid_hits`` — never silently dropped
     ([PK] abs-log reports invalid_hits next to hits).
+
+    Quartiles: ONE array-form percentile aggregate (exact for oracle-checked
+    paths, mergeable approx sketch for scale) — a single sketch per group
+    serves all three quartiles.
     """
     df = routed.withColumn("minute", F.date_trunc("minute", F.col("ts")))
+    ps = F.array(*[F.lit(p) for p in _QS])
+    q = (
+        F.percentile("rt", ps)
+        if exact_quantiles
+        else F.percentile_approx("rt", ps, F.lit(accuracy))
+    )
     aggs = [
         F.sum(F.when(F.col("valid"), 1).otherwise(0)).alias("pv"),
         F.coalesce(F.sum("bytes"), F.lit(0)).cast("long").alias("bytes_sum"),
         F.sum("rt").alias("rt_sum"),
         F.avg("rt").alias("rt_avg"),
-        *_quantiles(exact_quantiles),
+        F.min("rt").alias("rt_min"),
+        q.alias("_rt_q"),
+        F.max("rt").alias("rt_max"),
         F.sum(F.when(F.col("status") >= 400, 1).otherwise(0)).alias("err_hits"),
         F.sum(F.when(~F.col("valid"), 1).otherwise(0)).alias("invalid_hits"),
     ]
-    return df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    out = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    return out.select(
+        *keys,
+        "pv",
+        "bytes_sum",
+        "rt_sum",
+        "rt_avg",
+        "rt_min",
+        F.element_at("_rt_q", 1).alias("rt_p25"),
+        F.element_at("_rt_q", 2).alias("rt_p50"),
+        F.element_at("_rt_q", 3).alias("rt_p75"),
+        "rt_max",
+        "err_hits",
+        "invalid_hits",
+    )
 
 
 def salted_minute_agg(

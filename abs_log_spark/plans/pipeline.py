@@ -16,12 +16,15 @@ can register them individually and a Structured-Streaming foreachBatch can
 reuse them unchanged (SURVEY.md section 2.10).
 
 Scale design decisions (10^12 rows / 1000 executors):
-- one persist of the routed DF serves N sink writes + nothing else; each
-  sink write is a partition-pruned filter on the cached data.
-- routed tables are partitioned by ``part_bucket`` and written with dynamic
-  partition overwrite -> idempotent per-bucket re-runs (resume).
-- minute aggregates are recomputed from the routed tables (derived data),
-  so resume never has to merge partial aggregates.
+- ONE data pass, NO cache: the routed relation (wide token arrays) is
+  written exactly once, partitioned by (sink, part_bucket); per-sink tables
+  are produced by promoting partition directories (a metadata/file move —
+  the parquet stand-in for Iceberg's atomic partition replace). Caching the
+  token arrays measured 2x slower than re-reading column-pruned parquet.
+- partition promotion replaces exactly the re-run buckets -> idempotent
+  per-bucket re-runs (resume) without partial-aggregate merges.
+- minute aggregates are recomputed from the routed tables (derived data);
+  parquet column pruning means that read-back never touches token arrays.
 - the only wide shuffle in the job is the groupBy for the minute summary;
   Spark plans it partial+final with the approx_percentile sketch merging
   map-side. AQE coalesces the post-shuffle partitions.
@@ -32,7 +35,6 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.storagelevel import StorageLevel
 
 from abs_log_spark.catalog import Catalog
 from abs_log_spark.functions.abstract import args_abs_col, uri_abs_col
@@ -62,10 +64,16 @@ def abstract_stage(df: DataFrame) -> DataFrame:
 def transform(seq_df: DataFrame, dim: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
     """parse -> abstract -> enrich, no I/O. The routed relation (FIXTURES A3):
     input columns UNTOUCHED (token-equality invariant) + parsed fields +
-    abstractions + sink/site."""
+    abstractions + sink/site.
+
+    The Arrow path emits abstraction columns inside the same UDF batch (one
+    Python crossing total); the expr path derives them JVM-side."""
     cfg = cfg or PipelineConfig()
-    parsed = parse_arrow(seq_df) if cfg.use_arrow else parse_expr(seq_df)
-    return enrich(abstract_stage(parsed), dim)
+    if cfg.use_arrow:
+        parsed = parse_arrow(seq_df)  # already carries uri_abs/args_abs
+    else:
+        parsed = abstract_stage(parse_expr(seq_df))
+    return enrich(parsed, dim)
 
 
 def run_pipeline(
@@ -86,39 +94,67 @@ def run_pipeline(
 
     routed = transform(pending, dim, cfg)
     routed = metrics.observe_routed(routed)
-    routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
 
     sinks = list(cfg.sinks) or [
         r.sink for r in dim.select("sink").distinct().collect()
     ] + [DEFAULT_SINK]
 
-    # Which input buckets are in this increment? (tiny: <= bucket count)
-    buckets = [r.part_bucket for r in pending.select("part_bucket").distinct().collect()]
+    # ONE data pass: write everything partitioned by (sink, part_bucket) to a
+    # staging table, then promote partition dirs into per-sink tables with
+    # file moves (Iceberg atomic-partition-replace stand-in). No cache: the
+    # wide token arrays are written exactly once and never re-scanned.
+    cat.drop("_routed_staging")  # clear any crashed-run leftovers
+    # Shuffle once on the layout key before the partitioned write: without
+    # this, every task opens a file per (sink, bucket) value -> tasks x
+    # partitions small files (measured 1094 files for 182MB). With it, one
+    # file per partition. At 10^12 rows the same shuffle sizes output files
+    # via spark.sql.shuffle.partitions instead of letting file count explode.
+    layout_cols = ["sink", *cfg.routed_partition_cols]
+    routed = routed.repartition(*[F.col(c) for c in layout_cols])
+    cat.write(routed, "_routed_staging", partition_by=tuple(layout_cols))
+    moved = cat.promote_partitions("_routed_staging", "routed_")
+    processed_any = bool(moved)
 
-    processed_any = False
-    for sink in sinks:
-        part = routed.where(F.col("sink") == sink)
-        cat.write(part, f"routed_{sink}", partition_by=cfg.routed_partition_cols)
-        processed_any = True
-
+    # Buckets in this increment come from the promoted dir names — zero
+    # extra Spark jobs.
+    buckets = sorted(
+        {d.split("=", 1)[1] for dirs in moved.values() for d in dirs if "=" in d}
+    )
     if buckets:
-        ckpt.mark_done(spark, cat, run_id, "routed", [str(b) for b in buckets])
+        ckpt.mark_done(spark, cat, run_id, "routed", buckets)
 
-    # Derived aggregates: recomputed from the full routed tables (all buckets,
-    # including previously completed ones) -> resume-safe without agg merges.
+    # Derived aggregates, recomputed from the routed tables (all buckets,
+    # incl. previously completed -> resume-safe without partial-agg merges).
+    # Parquet column pruning means this read-back skips the token arrays
+    # entirely — it touches only the small measure/key columns. ONE aggregate
+    # over all sinks (sink is a group key); per-sink outputs are filters of
+    # the tiny result.
+    parts = []
     for sink in sinks:
         tbl = f"routed_{sink}"
-        if not cat.exists(tbl):
-            continue
-        full = cat.read(spark, tbl).withColumn("sink", F.lit(sink))
-        cat.write(
-            minute_agg(full, exact_quantiles=cfg.exact_quantiles),
-            f"minute_agg_{sink}",
-        )
-        cat.write(error_view(full), f"errors_{sink}")
+        if cat.exists(tbl):
+            parts.append(
+                cat.read(spark, tbl)
+                .withColumn("sink", F.lit(sink))
+                .select(
+                    "sink", "site", "ts", "uri_abs", "rt", "bytes", "status", "valid"
+                )
+            )
+    if parts:
+        allr = parts[0]
+        for p in parts[1:]:
+            allr = allr.unionByName(p)
+        agg_all = minute_agg(allr, exact_quantiles=cfg.exact_quantiles).persist()
+        err_all = error_view(allr).persist()
+        for sink in sinks:
+            # summary tables are tiny (bounded by minutes x endpoints):
+            # one file each, not shuffle.partitions-many
+            cat.write(agg_all.where(F.col("sink") == sink).coalesce(1), f"minute_agg_{sink}")
+            cat.write(err_all.where(F.col("sink") == sink).coalesce(1), f"errors_{sink}")
+        agg_all.unpersist()
+        err_all.unpersist()
 
-    vals = metrics.flush(spark, cat, run_id, [str(b) for b in buckets])
-    routed.unpersist()
+    vals = metrics.flush(spark, cat, run_id, buckets)
     vals["buckets_processed"] = len(buckets)
     vals["buckets_skipped"] = len(done)
     vals["sinks"] = sinks

@@ -37,6 +37,7 @@ ENGINE_CONFS: dict[str, str] = {
     # would be ~2-3x total cores instead.
     "spark.sql.shuffle.partitions": "64",
     "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 

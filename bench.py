@@ -1,0 +1,157 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+The headline set covers each engine subsystem: the full synthetic-sequence
+pipeline (parse/abstract/enrich/route/aggregate at bench row count), the
+documents-derived e2e aggregate, dedup (MinHash LSH), ANN (brute-force
+cosine), classic joins/aggs, and the minute summary. Actions use the noop
+sink so write-format costs don't mask engine time, except the pipeline run
+which includes its real parquet sinks (write cost is part of its contract).
+
+Scaling evidence (north_rule's N vs 4N executors, sandbox stand-in):
+run `python bench.py --scaling` to execute the same pipeline input at
+local[8] and local[32] in fresh JVMs and report throughput + efficiency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+#: bench pipeline input rows, scaled off the sf dir (sf0.1 -> 2M rows).
+PIPELINE_ROWS = {"sf0.001": 20_000, "sf0.01": 200_000, "sf0.1": 2_000_000}
+
+HEADLINE = [
+    "pipeline_e2e_minute_agg",
+    "events_minute_agg",
+    "topn_uri_per_sink",
+    "tpch_q1_pricing",
+    "region_revenue",
+    "dedup_minhash_lsh",
+    "dedup_exact_md5",
+    "ann_knn_bruteforce",
+    "text_stats_quality",
+]
+
+
+def _sf_label(path: str) -> str:
+    return os.path.basename(path.rstrip("/"))
+
+
+def run_headline(spark, sf_dir: str) -> dict[str, float]:
+    from abs_log_spark.queries import load_all
+
+    reg = load_all()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _sql = reg[name]
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.monotonic() - t0, 3)
+    return times
+
+
+def run_pipeline_bench(spark, n_rows: int, warehouse: str) -> dict:
+    from abs_log_spark.catalog import Catalog
+    from abs_log_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from abs_log_spark.sources.synth import gen_sequences, gen_sources_dim
+
+    shutil.rmtree(warehouse, ignore_errors=True)
+    seq = gen_sequences(spark, n_rows, invalid_every=1000)
+    dim = gen_sources_dim(spark)
+    t0 = time.monotonic()
+    run_pipeline(spark, Catalog(root=warehouse), seq, dim, run_id="bench",
+                 cfg=PipelineConfig(resume=False))
+    wall = time.monotonic() - t0
+    return {"pipeline_sec": round(wall, 3), "pipeline_rows": n_rows,
+            "pipeline_rows_per_sec": round(n_rows / wall, 1)}
+
+
+def run_scaling(n_rows: int) -> dict:
+    """Same input + code at local[8] vs local[32]: throughput + efficiency.
+
+    Stand-in for the north_rule's N vs 4N executor criterion (no cluster in
+    this sandbox); fresh JVM per run via subprocess, median of 3.
+    """
+    input_dir = "/tmp/abslog_bench_input"
+    if not os.path.isdir(input_dir):
+        from abs_log_spark.session import get_spark
+        from abs_log_spark.sources.synth import gen_sequences
+
+        spark = get_spark("bench-gen", master=f"local[{CPUS}]")
+        gen_sequences(spark, n_rows, invalid_every=1000).write.mode("overwrite").parquet(input_dir)
+        spark.stop()
+
+    results = {}
+    for cores in (8, 32):
+        walls = []
+        for rep in range(3):
+            wh = f"/tmp/abslog_bench_wh_{cores}"
+            shutil.rmtree(wh, ignore_errors=True)
+            out = subprocess.run(
+                [sys.executable, os.path.join(REPO, "jobs", "run_pipeline.py"),
+                 "--input", input_dir, "--warehouse", wh, "--no-resume",
+                 "--run-id", f"scale{cores}_{rep}", "--master", f"local[{cores}]"],
+                capture_output=True, text=True, env={**os.environ, "PYTHONPATH": REPO},
+                timeout=1800, check=True,
+            )
+            summary = json.loads(out.stdout.strip().splitlines()[-1])
+            walls.append(summary["wall_ms"] / 1000.0)
+        walls.sort()
+        results[cores] = {"wall_sec_median": walls[1], "walls": walls,
+                          "rows_per_sec": round(n_rows / walls[1], 1)}
+    eff = (results[32]["rows_per_sec"] / results[8]["rows_per_sec"]) / 4.0
+    return {"scaling": {"rows": n_rows, "local8": results[8], "local32": results[32],
+                        "efficiency_8_to_32": round(eff, 3)}}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true", help="also run local[8]/local[32] scaling")
+    ap.add_argument("--rows", type=int, default=None, help="pipeline bench rows override")
+    args = ap.parse_args()
+
+    from abs_log_spark.session import get_spark
+
+    label = _sf_label(SF_DIR)
+    n_rows = args.rows or PIPELINE_ROWS.get(label, 200_000)
+    sf = float(label.replace("sf", "")) if label.startswith("sf") else -1.0
+
+    spark = get_spark("abs-log-spark-bench", master=f"local[{CPUS}]")
+    t0 = time.monotonic()
+    queries = run_headline(spark, SF_DIR)
+    extras = run_pipeline_bench(spark, n_rows, "/tmp/abslog_bench_wh")
+    total = round(time.monotonic() - t0, 3)
+    spark.stop()
+
+    if args.scaling:
+        extras.update(run_scaling(n_rows))
+
+    out = {
+        "metric": "headline suite + synthetic pipeline wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        **extras,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    main()

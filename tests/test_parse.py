@@ -39,6 +39,20 @@ def test_parse_paths_agree(spark):
     assert a.where(~F.col("valid")).count() == 500 // 7 + (1 if 500 % 7 >= 7 else 0)
 
 
+def test_arrow_abstraction_matches_builtin(spark):
+    """uri_abs/args_abs emitted inside the Arrow parse UDF == builtin
+    transform()-based expressions (three-way dual-path parity)."""
+    from abs_log_spark.functions.abstract import args_abs_col, uri_abs_col
+
+    seq = gen_sequences(spark, 400, invalid_every=9)
+    a = parse_arrow(seq)
+    mism = a.where(
+        ~F.col("uri_abs").eqNullSafe(uri_abs_col(F.col("uri")))
+        | ~F.col("args_abs").eqNullSafe(args_abs_col(F.col("args")))
+    ).count()
+    assert mism == 0
+
+
 def test_tokens_untouched_roundtrip(spark):
     """Token-equality invariant [B]: tokens survive the parse byte-identical,
     and detokenize(tokenize(x)) == x for unicode."""
