@@ -69,6 +69,30 @@ class Catalog:
     def drop(self, table: str) -> None:
         shutil.rmtree(self.path(table), ignore_errors=True)
 
+    def promote_sink_tables(self, staging_table: str, table_prefix: str) -> list[str]:
+        """Promote a staging write partitioned by ``_sink`` into per-sink
+        tables by moving each ``_sink=S`` directory wholesale to
+        ``<prefix>S`` (full-table replace — summary tables are rewritten per
+        run). The data files keep their own ``sink`` column; ``_sink`` exists
+        only to drive the directory layout, so ONE write job fans out to N
+        sink tables. Iceberg equivalent: ``REPLACE TABLE ... AS SELECT``
+        per sink, or a single table with sink partition."""
+        staging = self.path(staging_table)
+        sinks: list[str] = []
+        if not os.path.isdir(staging):
+            return sinks
+        for d in sorted(os.listdir(staging)):
+            if not d.startswith("_sink="):
+                continue
+            sink = d.split("=", 1)[1]
+            target = self.path(f"{table_prefix}{sink}")
+            shutil.rmtree(target, ignore_errors=True)
+            os.replace(os.path.join(staging, d), target)
+            self._known.add(f"{table_prefix}{sink}")
+            sinks.append(sink)
+        shutil.rmtree(staging, ignore_errors=True)
+        return sinks
+
     def promote_partitions(self, staging_table: str, table_prefix: str) -> dict[str, list[str]]:
         """Promote a staging write partitioned by (sink, <key>) into per-sink
         tables by moving partition directories: ``staging/sink=S/<key>=V`` ->

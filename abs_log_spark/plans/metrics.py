@@ -23,6 +23,14 @@ class StageMetrics:
     def __init__(self) -> None:
         self.observations: dict[str, Observation] = {}
         self.t0 = time.monotonic()
+        self.timings: dict[str, float] = {}
+        self._last = self.t0
+
+    def mark(self, phase: str) -> None:
+        """Record wall time since the previous mark under ``phase``."""
+        now = time.monotonic()
+        self.timings[phase] = round(now - self._last, 3)
+        self._last = now
 
     def observe_input(self, df: DataFrame) -> DataFrame:
         obs = Observation("input")
@@ -70,4 +78,5 @@ class StageMetrics:
             " rows_valid long, rows_invalid long, rows_routed long, wall_ms long",
         )
         cat.append(df, METRICS_TABLE)
+        vals["timings"] = dict(self.timings)
         return vals

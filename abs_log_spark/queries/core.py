@@ -489,3 +489,51 @@ def salted_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(16))
     ).groupBy("source", "_salt").agg(F.count("*").alias("_n"))
     return partial.groupBy("source").agg(F.sum("_n").cast("long").alias("n"))
+
+
+_TOP_USERS_SQL = """
+WITH u AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS hits, round(sum(value), 6) AS value_sum
+  FROM events GROUP BY 1
+)
+SELECT user_id, hits, value_sum, rank, hits_pct FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY hits DESC, user_id) AS INT) AS rank,
+         round(hits * 100.0 / sum(hits) OVER (), 4) AS hits_pct
+  FROM u
+) WHERE rank <= 10
+"""
+
+
+@register("top_users", _TOP_USERS_SQL)
+def top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8: abs-log's ``ip`` view analog — top sources (users) by hits with
+    %-of-total against the period total ([PK] ``log_show ip``)."""
+    ev = read_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count("*").alias("hits"),
+        F.round(F.sum("value"), 6).alias("value_sum"),
+    )
+    u = with_pct_of_total(u, ["hits"], [])
+    top = top_n_per_group(u, [], "hits", 10)
+    return top.select("user_id", "hits", "value_sum", "rank", "hits_pct")
+
+
+_DISTINCT_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS pv,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users
+FROM events GROUP BY 1
+"""
+
+
+@register("distinct_user_counts", _DISTINCT_SQL)
+def distinct_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9: exact distinct counts per event_type (distinct visitors per view,
+    [PK] abs-log summaries). Exact ``count_distinct`` here for oracle parity;
+    the 10^12-row path swaps in ``approx_count_distinct`` (HLL sketch, no
+    second shuffle) — accuracy-tested in tests/test_reports.py."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("pv"),
+        F.count_distinct("user_id").alias("uniq_users"),
+    )

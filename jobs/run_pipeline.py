@@ -30,7 +30,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--buckets", type=int, default=8, help="part_bucket count for synth")
     p.add_argument("--invalid-every", type=int, default=0, help="corrupt every k-th synth row")
     p.add_argument("--no-resume", action="store_true", help="ignore existing checkpoints")
+    p.add_argument(
+        "--repeat", type=int, default=1,
+        help="run the pipeline N times (fresh warehouse per rep) in ONE JVM, "
+        "printing one JSON line per rep — steady-state (warm-JIT) benchmarking",
+    )
     p.add_argument("--expr-parse", action="store_true", help="builtin-expr parse instead of Arrow UDF")
+    p.add_argument(
+        "--aligned", action="store_true",
+        help="input is clustered by (source, part_bucket): skip the layout shuffle",
+    )
     p.add_argument("--exact-quantiles", action="store_true")
     args = p.parse_args(argv)
 
@@ -52,9 +61,26 @@ def main(argv: list[str] | None = None) -> int:
         use_arrow=not args.expr_parse,
         exact_quantiles=args.exact_quantiles,
         resume=not args.no_resume,
+        input_aligned=args.aligned,
     )
-    summary = run_pipeline(spark, cat, seq, dim, run_id=args.run_id, cfg=cfg)
-    print(json.dumps({"run_id": args.run_id, **{k: v for k, v in summary.items()}}))
+    if args.repeat == 1:
+        summary = run_pipeline(spark, cat, seq, dim, run_id=args.run_id, cfg=cfg)
+        print(json.dumps({"run_id": args.run_id, **{k: v for k, v in summary.items()}}))
+    else:
+        import shutil
+        import time
+
+        for rep in range(args.repeat):
+            wh = f"{args.warehouse.rstrip('/')}_rep{rep}"
+            shutil.rmtree(wh, ignore_errors=True)
+            t0 = time.monotonic()
+            summary = run_pipeline(
+                spark, Catalog(root=wh), seq, dim, run_id=f"{args.run_id}_r{rep}", cfg=cfg
+            )
+            summary["rep"] = rep
+            summary["wall_ms"] = int((time.monotonic() - t0) * 1000)
+            print(json.dumps({"run_id": args.run_id, **summary}), flush=True)
+            shutil.rmtree(wh, ignore_errors=True)
     spark.stop()
     return 0
 
