@@ -79,3 +79,37 @@ def streaming_minute_agg_fb(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), ids AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sess
+  FROM flagged
+)
+SELECT user_id AS key,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM ids GROUP BY user_id, sess
+"""
+
+
+@register("sessionize_events", _SESSIONIZE_SQL)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) of the events stream per
+    user — abs-log 'ip' view extended to visits. Batch twin of the
+    applyInPandasWithState streaming operator (tests/test_sessionize.py
+    proves stream==batch)."""
+    from abs_log_spark.sources.readers import read_table
+    from abs_log_spark.streaming.sessionize import sessionize_batch
+
+    ev = read_table(spark, sf_dir, "events")
+    return sessionize_batch(ev, gap_minutes=30, key_col="user_id")
