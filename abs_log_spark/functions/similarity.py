@@ -72,7 +72,9 @@ def band_buckets(sig: DataFrame, seeds: int = MINHASH_SEEDS, band_size: int = BA
     hashes. Candidate pairs are docs sharing any (band, bucket)."""
     bands = []
     for b in range(seeds // band_size):
-        cols = [F.col(f"h{b * band_size + j}") for j in range(band_size)]
+        cols = [
+            F.col(f"h{b * band_size + j}").cast("string") for j in range(band_size)
+        ]
         bands.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("bucket"))
         )
@@ -82,19 +84,37 @@ def band_buckets(sig: DataFrame, seeds: int = MINHASH_SEEDS, band_size: int = BA
 
 
 def candidate_pairs(buckets: DataFrame) -> DataFrame:
-    """Self-join per (band, bucket); dedup pairs across bands."""
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    """Pairs of docs sharing a (band, bucket); dedup'd across bands.
+
+    ONE shuffle: groupBy the bucket key, sorted member list, in-row pair
+    expansion (ordered combinations via indexed transform + slice). The
+    self-join formulation shuffles the bucket relation twice and the pair
+    set a third time for DISTINCT; this moves it once (plus the tiny pair
+    dedup). A pathological bucket (giant boilerplate dup cluster) is
+    quadratic in EITHER formulation — that's inherent to LSH candidates —
+    but here it also builds the pair array in one row: if a corpus has
+    million-doc exact-dup clusters, run dedup_exact first (the standard
+    curation order).
+    """
+    grp = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
     )
+    pairs = grp.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 def exact_jaccard(pairs: DataFrame, shingle_rows: DataFrame) -> DataFrame:
@@ -199,3 +219,70 @@ def norm_col(a: Column) -> Column:
 
 def cosine_col(a: Column, b: Column) -> Column:
     return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+# ---------------------------------------------------------------------------
+# Array-native MinHash (no explode, no shuffle for signatures)
+# ---------------------------------------------------------------------------
+
+
+
+#: Affine-permutation constants for integer MinHash: h_i = (A_i*h + B_i) % P.
+#: P prime > 2^32; A_i*h < 2^52 so the arithmetic is exact in BIGINT (and in
+#: every SQL engine -- the DuckDB oracle states the identical expressions).
+MINHASH_P = 4294967311
+MINHASH_A = (1000003, 1000033, 1000037, 1000039, 1000081, 1000099, 1000117, 1000121)
+MINHASH_B = (17, 1729, 20011, 21001, 22003, 23003, 24001, 94261)
+
+
+def minhash_signature_arr(
+    docs_sh: DataFrame, seeds: int = MINHASH_SEEDS, sh_col: str = "sh"
+) -> DataFrame:
+    """Signatures computed INSIDE the row, zero shuffle and one scan: each
+    shingle is md5-hashed ONCE to a 32-bit int (first 8 hex digits), then
+    every seed is a cheap affine permutation (A_i*h + B_i) % P over the int
+    array -- h_i = array_min of that. vs hashing per (shingle, seed): 8x
+    fewer md5 calls, and at 10^12 docs no |doc|x|shingle|xK rows ever move
+    through a shuffle (the exploded+groupBy formulation's cost).
+    """
+    base = F.transform(
+        F.col(sh_col),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    )
+
+    def _perm(i: int):
+        # single-arg lambda: a 2-arg lambda would receive (element, index)
+        return lambda h: (h * MINHASH_A[i] + MINHASH_B[i]) % MINHASH_P
+
+    with_base = docs_sh.withColumn("_hs", base)
+    sig_cols = [
+        F.array_min(F.transform(F.col("_hs"), _perm(i))).alias(f"h{i}")
+        for i in range(seeds)
+    ]
+    return with_base.select(*docs_sh.columns, *sig_cols)
+
+
+def jaccard_from_arrays(
+    pairs: DataFrame, docs_sh: DataFrame, sh_col: str = "sh"
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs, via array_intersect on
+    the two docs' shingle arrays — only candidate pairs ever move, no
+    shingle-row joins."""
+    da = docs_sh.select(
+        F.col("doc_id").alias("doc_a"), F.array_distinct(F.col(sh_col)).alias("_sa")
+    )
+    db = docs_sh.select(
+        F.col("doc_id").alias("doc_b"), F.array_distinct(F.col(sh_col)).alias("_sb")
+    )
+    ni = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                ni / (F.size("_sa") + F.size("_sb") - ni), 6
+            ).alias("jaccard"),
+        )
+    )

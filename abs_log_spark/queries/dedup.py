@@ -56,27 +56,26 @@ sh AS (
                                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
   FROM w
 ),
-seeded AS (
-  SELECT doc_id, seed, md5(seed::VARCHAR || '|' || s) AS h
-  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed) seeds
+hs AS (
+  SELECT doc_id, s, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh
 ),
 sig AS (
   SELECT doc_id,
-         min(CASE WHEN seed = 0 THEN h END) AS h0,
-         min(CASE WHEN seed = 1 THEN h END) AS h1,
-         min(CASE WHEN seed = 2 THEN h END) AS h2,
-         min(CASE WHEN seed = 3 THEN h END) AS h3,
-         min(CASE WHEN seed = 4 THEN h END) AS h4,
-         min(CASE WHEN seed = 5 THEN h END) AS h5,
-         min(CASE WHEN seed = 6 THEN h END) AS h6,
-         min(CASE WHEN seed = 7 THEN h END) AS h7
-  FROM seeded GROUP BY 1
+         min((h * 1000003 + 17) % 4294967311)    AS h0,
+         min((h * 1000033 + 1729) % 4294967311)  AS h1,
+         min((h * 1000037 + 20011) % 4294967311) AS h2,
+         min((h * 1000039 + 21001) % 4294967311) AS h3,
+         min((h * 1000081 + 22003) % 4294967311) AS h4,
+         min((h * 1000099 + 23003) % 4294967311) AS h5,
+         min((h * 1000117 + 24001) % 4294967311) AS h6,
+         min((h * 1000121 + 94261) % 4294967311) AS h7
+  FROM hs GROUP BY 1
 ),
 bb AS (
-  SELECT doc_id, 0 AS band, md5(h0 || ',' || h1) AS bucket FROM sig
-  UNION ALL SELECT doc_id, 1, md5(h2 || ',' || h3) FROM sig
-  UNION ALL SELECT doc_id, 2, md5(h4 || ',' || h5) FROM sig
-  UNION ALL SELECT doc_id, 3, md5(h6 || ',' || h7) FROM sig
+  SELECT doc_id, 0 AS band, md5(h0::VARCHAR || ',' || h1::VARCHAR) AS bucket FROM sig
+  UNION ALL SELECT doc_id, 1, md5(h2::VARCHAR || ',' || h3::VARCHAR) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(h4::VARCHAR || ',' || h5::VARCHAR) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(h6::VARCHAR || ',' || h7::VARCHAR) FROM sig
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -111,7 +110,7 @@ SELECT doc_a, doc_b, jaccard FROM (
 
 @register("dedup_minhash_lsh", _MINHASH_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash (8 lexicographic-min md5 permutations) + LSH banding (4x2)
+    """MinHash (md5->32-bit int, 8 affine permutations) + LSH banding (4x2)
     -> candidate pairs -> exact-Jaccard verify >= 0.5. Mutated tail-append
     copies are the known positives (J ~= (n-2)/(n+1))."""
     docs = read_table(spark, sf_dir, "documents")
