@@ -172,6 +172,17 @@ def main() -> int:
 
     if args.scaling:
         extras.update(run_scaling())
+    else:
+        # full N-vs-4N run is ~10 min (python bench.py --scaling); default
+        # output carries the last recorded result so BENCH json is
+        # self-contained. Methodology + raw walls: BASELINE.md.
+        extras["scaling_recorded"] = {
+            "note": "measured 2026-08-16 via `python bench.py --scaling`, see BASELINE.md",
+            "rows": 8_000_000,
+            "local4_rows_per_sec": 77894.5,
+            "local16_rows_per_sec": 262993.5,
+            "efficiency_n_to_4n": 0.844,
+        }
 
     out = {
         "metric": "headline suite + synthetic pipeline wall time",
