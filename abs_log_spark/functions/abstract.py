@@ -117,3 +117,37 @@ def uri_abs_udf(s: pd.Series) -> pd.Series:
 @pandas_udf(StringType())
 def args_abs_udf(s: pd.Series) -> pd.Series:
     return _abstract_args_series(s)
+
+
+# ---------------------------------------------------------------------------
+# Per-site custom abstraction rules (SURVEY.md A4, [PK] abs_special config)
+# ---------------------------------------------------------------------------
+
+#: (site, uri_abs regex, replacement). First matching rule wins; site "*"
+#: applies to every site. Rules are DATA so ops can extend them per
+#: deployment without touching code — the reference keeps these in config.
+AbsRule = tuple[str, str, str]
+
+DEFAULT_ABS_RULES: tuple[AbsRule, ...] = (
+    ("site0", r"^/static/", "/static/*"),      # collapse the static tree
+    ("*", r"^/order/\*/detail/\*$", "/order/*"),  # coarsen order detail pages
+)
+
+
+def apply_abs_rules(
+    df, rules: tuple[AbsRule, ...] = DEFAULT_ABS_RULES,
+    uri_col: str = "uri_abs", site_col: str = "site",
+):
+    """Override ``uri_abs`` with the first matching (site, pattern) rule.
+
+    Compiled to a when-chain — pure JVM expressions, oracle-mirrorable as a
+    CASE. At 10^12 rows a few dozen rules stay codegen'd; a rule table of
+    thousands would become a broadcast-joined lookup instead.
+    """
+    expr = F.col(uri_col)
+    for site, pat, repl in reversed(rules):
+        cond = F.col(uri_col).rlike(pat)
+        if site != "*":
+            cond = cond & (F.col(site_col) == site)
+        expr = F.when(cond, F.lit(repl)).otherwise(expr)
+    return df.withColumn(uri_col, expr)

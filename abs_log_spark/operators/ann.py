@@ -108,6 +108,69 @@ def lsh_bucket_knn(emb: DataFrame, queries: DataFrame, k: int = 5, planes: int =
     )
 
 
+def centroid_dot_expr(embedding, l: int):
+    """dot(embedding, pseudo-centroid l): centroid weight for dim d is +-1
+    by the first hex char of md5('ivf<l>|<d>') — deterministic, SQL-mirrorable."""
+    dim = F.size(embedding)
+    weights = F.transform(
+        F.sequence(F.lit(0), dim - 1),
+        lambda d: F.when(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(f"ivf{l}"), d.cast("string"))), 1, 1
+            )
+            < "8",
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0)),
+    )
+    return F.aggregate(
+        F.zip_with(embedding, weights, lambda x, w: x.cast("double") * w),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_probe_knn(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF search: corpus vectors live in their argmax-centroid list; a query
+    probes its ``nprobe`` best lists and scores only those vectors — the
+    full IVF shape (assign -> partition by list -> probe) minus k-means
+    training. At 100 TB ``ivf_list`` is the table partition key, so a query
+    scans nprobe/n_lists of the data; the query side is tiny and broadcast.
+    """
+    e = centroid_ivf_assign(emb, n_lists)
+    scores = F.array(
+        *[
+            F.struct(
+                centroid_dot_expr(F.col("q_embedding"), l).alias("s"),
+                F.lit(l).alias("l"),
+            )
+            for l in range(n_lists)
+        ]
+    )
+    # sort_array desc on struct(s, l): ties break by l DESC (mirrored in SQL)
+    probes = F.slice(F.sort_array(scores, asc=False), 1, nprobe)
+    q = queries.withColumn(
+        "ivf_list", F.explode(F.transform(probes, lambda x: x["l"]))
+    )
+    joined = e.join(F.broadcast(q), "ivf_list").where(F.col("vec_id") != F.col("q_id"))
+    scored = joined.select(
+        "q_id",
+        "vec_id",
+        F.round(cosine_col(F.col("q_embedding"), F.col("embedding")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cosine", "rank")
+    )
+
+
 def centroid_ivf_assign(emb: DataFrame, n_lists: int = 16) -> DataFrame:
     """IVF-style list assignment with deterministic 'centroids': list id =
     argmax over n_lists of dot(embedding, pseudo-centroid(l)) where the
@@ -115,22 +178,7 @@ def centroid_ivf_assign(emb: DataFrame, n_lists: int = 16) -> DataFrame:
     for k-means centroids (which need training); the routing/plumbing —
     assign, partition by list, probe nearest lists — is the real shape."""
     def centroid_dot(l: int):
-        dim = F.size(F.col("embedding"))
-        weights = F.transform(
-            F.sequence(F.lit(0), dim - 1),
-            lambda d: F.when(
-                F.substring(
-                    F.md5(F.concat_ws("|", F.lit(f"ivf{l}"), d.cast("string"))), 1, 1
-                )
-                < "8",
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
-        )
-        return F.aggregate(
-            F.zip_with(F.col("embedding"), weights, lambda x, w: x.cast("double") * w),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        return centroid_dot_expr(F.col("embedding"), l)
 
     best = F.lit(0)
     best_score = centroid_dot(0)

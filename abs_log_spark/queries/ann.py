@@ -11,6 +11,7 @@ from abs_log_spark.operators.ann import (
     blocked_near_dup,
     brute_force_knn,
     centroid_ivf_assign,
+    ivf_probe_knn,
     lsh_bucket_knn,
 )
 from abs_log_spark.queries import register
@@ -140,3 +141,53 @@ def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_vectors"),
         F.min("vec_id").alias("min_vec_id"),
     )
+
+
+_IVF_SQL = """
+WITH cents AS (
+  SELECT l, list_transform(generate_series(0, 63),
+           d -> CASE WHEN substr(md5('ivf' || l::VARCHAR || '|' || d::VARCHAR), 1, 1) < '8'
+                     THEN 1.0 ELSE -1.0 END) AS w
+  FROM (SELECT unnest(generate_series(0, 15)) AS l)
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+scores AS (SELECT vec_id, l, list_dot_product(ev, w) AS s FROM e CROSS JOIN cents),
+assign AS (
+  SELECT vec_id, l AS ivf_list FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, l) AS rn
+    FROM scores
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, l AS ivf_list FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, l DESC) AS rn
+    FROM scores WHERE vec_id < 5
+  ) WHERE rn <= 4
+),
+scored AS (
+  SELECT p.q_id, a.vec_id,
+         round(list_dot_product(qe.ev, ce.ev) /
+               (sqrt(list_dot_product(qe.ev, qe.ev)) * sqrt(list_dot_product(ce.ev, ce.ev))), 6)
+           AS cosine
+  FROM probes p
+  JOIN assign a ON a.ivf_list = p.ivf_list AND a.vec_id <> p.q_id
+  JOIN e qe ON qe.vec_id = p.q_id
+  JOIN e ce ON ce.vec_id = a.vec_id
+)
+SELECT q_id, vec_id, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register("ann_ivf_search", _IVF_SQL)
+def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF search: assign corpus to 16 pseudo-centroid lists, probe the
+    query's 4 best lists, exact cosine inside them — the standard
+    recall/cost dial (nprobe/n_lists) over partition-pruned data."""
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
+    )
+    return ivf_probe_knn(emb, queries, k=5, n_lists=16, nprobe=4)

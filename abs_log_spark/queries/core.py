@@ -537,3 +537,40 @@ def distinct_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("pv"),
         F.count_distinct("user_id").alias("uniq_users"),
     )
+
+
+_ABS_RULES_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         'site' || ((doc_id % 4))::VARCHAR AS site,
+         {_URI_ABS_SQL_EXPR} AS uri_abs
+  FROM documents
+), ruled AS (
+  SELECT site,
+         CASE
+           WHEN site = 'site0' AND regexp_matches(uri_abs, '^/static/') THEN '/static/*'
+           WHEN regexp_matches(uri_abs, '^/order/\\*/detail/\\*$') THEN '/order/*'
+           ELSE uri_abs
+         END AS uri_abs
+  FROM base
+)
+SELECT site, uri_abs, CAST(count(*) AS BIGINT) AS pv
+FROM ruled GROUP BY 1, 2
+"""
+
+
+@register("abs_custom_rules", _ABS_RULES_SQL)
+def abs_custom_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: per-site custom abstraction overrides (abs_special config analog):
+    first matching (site, pattern) rule rewrites uri_abs; rules are data,
+    compiled to a when-chain."""
+    from abs_log_spark.functions.abstract import apply_abs_rules
+
+    docs = read_table(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    base = docs.select(
+        F.concat(F.lit("site"), (i % 4).cast("string")).alias("site"),
+        uri_abs_col(uri_expr(i)).alias("uri_abs"),
+    )
+    ruled = apply_abs_rules(base)
+    return ruled.groupBy("site", "uri_abs").agg(F.count("*").alias("pv"))
