@@ -87,3 +87,73 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload", "media_type").mapInPandas(
         batches, FEATURE_SCHEMA
     )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes_out", LongType()),
+        StructField("resized_md5", StringType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, width: int = 32, height: int = 8) -> DataFrame:
+    """Stubbed resize with real plumbing: binary in -> binary-derived out per
+    Arrow batch. The stub 'resamples' to width*height bytes by truncation
+    (PIL's ``Image.resize`` plugs into the same loop); output carries the
+    md5 of the resized payload so correctness is byte-checkable."""
+    target = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = [bytes(p)[:target] for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": width,
+                    "height": height,
+                    "n_bytes_out": [len(r) for r in resized],
+                    "resized_md5": [hashlib.md5(r).hexdigest() for r in resized],
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", LongType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:
+    """Stubbed frame sampling with the real 1->N row shape: each payload
+    'video' splits into n_frames equal chunks (n_frames from the decode
+    stub, tail remainder dropped), keep every ``every``-th frame. A real
+    ffmpeg keyframe sampler yields batches exactly like this — one output
+    row per kept frame, more rows out than in."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: list[tuple] = []
+            for doc_id, p in zip(pdf["doc_id"].astype("int64"), pdf["payload"]):
+                b = bytes(p)
+                n_frames = _decode_stub(b)[2]
+                size = len(b) // n_frames
+                if size == 0:
+                    continue
+                for i in range(0, n_frames, every):
+                    chunk = b[i * size : (i + 1) * size]
+                    out.append((doc_id, i, len(chunk), hashlib.md5(chunk).hexdigest()))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_idx", "frame_bytes", "frame_md5"]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, FRAME_SCHEMA)

@@ -130,3 +130,49 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return extract_features(attach_payload(docs))
+
+
+_RESIZE_SQL = """
+SELECT doc_id,
+       CAST(32 AS INT) AS width,
+       CAST(8 AS INT)  AS height,
+       CAST(least(length(text), 256) AS BIGINT) AS n_bytes_out,
+       md5(substr(text, 1, 256)) AS resized_md5
+FROM documents
+"""
+
+
+@register("multimodal_resize", _RESIZE_SQL)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed image resize with real mapInPandas plumbing (binary in,
+    binary-derived out); byte-level md5 checked against the oracle."""
+    from abs_log_spark.multimodal import attach_payload, resize_images
+
+    docs = read_table(spark, sf_dir, "documents")
+    return resize_images(attach_payload(docs), width=32, height=8)
+
+
+_FRAMES_SQL = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n, length(text) % 10 + 1 AS nf
+  FROM documents
+), sized AS (
+  SELECT doc_id, text, nf, n // nf AS sz FROM d WHERE n // nf > 0
+)
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST(sz AS BIGINT) AS frame_bytes,
+       md5(substr(text, i * sz + 1, sz)) AS frame_md5
+FROM sized, unnest(generate_series(0, nf - 1, 2)) AS t(i)
+"""
+
+
+@register("multimodal_frame_sample", _FRAMES_SQL)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed video frame sampling: 1 payload -> N frame rows (every 2nd of
+    the stub's n_frames equal chunks) via mapInPandas; frame bytes md5
+    checked against the oracle."""
+    from abs_log_spark.multimodal import attach_payload, sample_frames
+
+    docs = read_table(spark, sf_dir, "documents")
+    return sample_frames(attach_payload(docs), every=2)
