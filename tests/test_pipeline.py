@@ -140,3 +140,33 @@ def test_pipeline_partial_resume(spark, tmp_catalog):
         if tmp_catalog.exists(f"routed_{s}")
     )
     assert total == N
+
+
+def test_aligned_mode_matches_unaligned(spark, tmp_path):
+    """input_aligned (shuffle-free routing over layout-clustered input) must
+    produce identical routed counts and minute aggregates to the default
+    shuffled path."""
+    from abs_log_spark.catalog import Catalog
+    from abs_log_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from abs_log_spark.sources.synth import gen_sequences, gen_sources_dim
+
+    seq = gen_sequences(spark, 5000, invalid_every=250)
+    aligned_dir = str(tmp_path / "aligned_in")
+    seq.repartitionByRange(8, "source", "part_bucket", "doc_id").write.parquet(aligned_dir)
+    dim = gen_sources_dim(spark)
+
+    outs = {}
+    for mode, cfg in (
+        ("shuffled", PipelineConfig(resume=False)),
+        ("aligned", PipelineConfig(resume=False, input_aligned=True)),
+    ):
+        cat = Catalog(root=str(tmp_path / f"wh_{mode}"))
+        src = spark.read.parquet(aligned_dir) if mode == "aligned" else seq
+        run_pipeline(spark, cat, src, dim, run_id=mode, cfg=cfg)
+        agg = cat.read(spark, "minute_agg_sink_a")
+        outs[mode] = sorted(
+            (str(r["minute"]), r["uri_abs"], r["pv"], r["bytes_sum"], r["err_hits"])
+            for r in agg.collect()
+        )
+    assert outs["aligned"] == outs["shuffled"]
+    assert len(outs["aligned"]) > 0
