@@ -57,6 +57,11 @@ class PipelineConfig:
     #: input already clustered by (source, part_bucket) -> skip the layout
     #: shuffle entirely (routing becomes a pure map job).
     input_aligned: bool = False
+    #: P4 exclusion filter ([PK] abs-log config-driven skip of hosts/uris):
+    #: valid rows whose uri matches are dropped BEFORE routing/aggregation
+    #: (reference semantics: excluded lines never enter the stats). Invalid
+    #: rows are never excluded — invalid_hits stays accurate.
+    exclude_uri: str | None = None
 
 
 def abstract_stage(df: DataFrame) -> DataFrame:
@@ -77,6 +82,10 @@ def transform(seq_df: DataFrame, dim: DataFrame, cfg: PipelineConfig | None = No
         parsed = parse_arrow(seq_df)  # already carries uri_abs/args_abs
     else:
         parsed = abstract_stage(parse_expr(seq_df))
+    if cfg.exclude_uri:
+        parsed = parsed.where(
+            ~F.col("valid") | ~F.col("uri").rlike(cfg.exclude_uri)
+        )
     return enrich(parsed, dim)
 
 

@@ -179,9 +179,9 @@ def main() -> int:
         extras["scaling_recorded"] = {
             "note": "measured 2026-08-16 via `python bench.py --scaling`, see BASELINE.md",
             "rows": 8_000_000,
-            "local4_rows_per_sec": 77894.5,
-            "local16_rows_per_sec": 262993.5,
-            "efficiency_n_to_4n": 0.844,
+            "local4_rows_per_sec": 89482.5,
+            "local16_rows_per_sec": 339184.3,
+            "efficiency_n_to_4n": 0.948,
         }
 
     out = {

@@ -40,6 +40,10 @@ def main(argv: list[str] | None = None) -> int:
         "--aligned", action="store_true",
         help="input is clustered by (source, part_bucket): skip the layout shuffle",
     )
+    p.add_argument(
+        "--exclude-uri", default=None,
+        help="regex: valid rows with matching uri are dropped before routing",
+    )
     p.add_argument("--exact-quantiles", action="store_true")
     args = p.parse_args(argv)
 
@@ -62,6 +66,7 @@ def main(argv: list[str] | None = None) -> int:
         exact_quantiles=args.exact_quantiles,
         resume=not args.no_resume,
         input_aligned=args.aligned,
+        exclude_uri=args.exclude_uri,
     )
     if args.repeat == 1:
         summary = run_pipeline(spark, cat, seq, dim, run_id=args.run_id, cfg=cfg)

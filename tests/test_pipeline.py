@@ -170,3 +170,22 @@ def test_aligned_mode_matches_unaligned(spark, tmp_path):
         )
     assert outs["aligned"] == outs["shuffled"]
     assert len(outs["aligned"]) > 0
+
+
+def test_exclusion_filter(spark):
+    """P4: valid rows matching exclude_uri never enter routing/stats;
+    invalid rows are still counted."""
+    from abs_log_spark.plans.pipeline import PipelineConfig, transform
+    from abs_log_spark.sources.synth import gen_sequences, gen_sources_dim
+
+    seq = gen_sequences(spark, 1000, invalid_every=100)
+    dim = gen_sources_dim(spark)
+    base = transform(seq, dim)
+    excl = transform(seq, dim, PipelineConfig(exclude_uri=r"^/static/"))
+    n_static = base.where("valid and uri rlike '^/static/'").count()
+    assert n_static > 0
+    assert excl.count() == base.count() - n_static
+    assert excl.where("valid and uri rlike '^/static/'").count() == 0
+    assert (
+        excl.where("not valid").count() == base.where("not valid").count()
+    )
