@@ -12,8 +12,9 @@ sink so write-format costs don't mask engine time, except the pipeline run
 which includes its real parquet sinks (write cost is part of its contract).
 
 Scaling evidence (north_rule's N vs 4N executors, sandbox stand-in):
-run `python bench.py --scaling` to execute the same pipeline input at
-local[8] and local[32] in fresh JVMs and report throughput + efficiency.
+run `python bench.py --scaling` to execute the same layout-aligned input at
+local[4] and local[16] (warm reps in one JVM each) and report throughput +
+efficiency; see SCALING_CORES for why not 8 vs 32 on this host.
 """
 
 from __future__ import annotations
@@ -153,7 +154,7 @@ def run_scaling(n_rows: int = SCALING_ROWS) -> dict:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scaling", action="store_true", help="also run local[8]/local[32] scaling")
+    ap.add_argument("--scaling", action="store_true", help="also run the local[N] vs local[4N] scaling evidence")
     ap.add_argument("--rows", type=int, default=None, help="pipeline bench rows override")
     args = ap.parse_args()
 

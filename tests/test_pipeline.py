@@ -189,3 +189,28 @@ def test_exclusion_filter(spark):
     assert (
         excl.where("not valid").count() == base.where("not valid").count()
     )
+
+
+def test_zipf_skew_and_aligned_layout_balance(spark):
+    """The synth fixture is Zipf-hot (src0 ~ half the rows — the [B] 'hot
+    sources' axis); range-clustering on (source, part_bucket, doc_id)
+    splits that hot source across partitions so no task exceeds ~2x the
+    mean — the layout half of the skew story (AQE skew-join is conf)."""
+    from pyspark.sql import functions as F
+
+    from abs_log_spark.sources.synth import gen_sequences
+
+    seq = gen_sequences(spark, 20000)
+    frac = (
+        seq.where("source = 'src0'").count() / 20000
+    )
+    assert 0.4 < frac < 0.6, f"src0 fraction {frac} not Zipf-hot"
+
+    aligned = seq.repartitionByRange(16, "source", "part_bucket", "doc_id")
+    sizes = (
+        aligned.withColumn("p", F.spark_partition_id())
+        .groupBy("p").count().select("count").toPandas()["count"]
+    )
+    assert sizes.max() <= 2.0 * sizes.mean(), (
+        f"aligned layout leaves a straggler partition: {sorted(sizes)}"
+    )
