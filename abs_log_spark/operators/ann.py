@@ -15,6 +15,8 @@ All math is double-cast so DuckDB (::DOUBLE[]) agrees to 1e-6.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from abs_log_spark.functions.similarity import cosine_col, dot_col
@@ -63,23 +65,32 @@ def blocked_near_dup(
     )
 
 
-def hyperplane_sign_expr(embedding, plane: int):
-    """Deterministic pseudo-hyperplane: weight for dim d is +1 if the first
-    hex char of md5('<plane>|<d>') is < '8' else -1. Reproducible in SQL."""
-    dim = F.size(embedding)
-    weights = F.transform(
-        F.sequence(F.lit(0), dim - 1),
-        lambda d: F.when(
-            F.substring(F.md5(F.concat_ws("|", F.lit(str(plane)), d.cast("string"))), 1, 1)
-            < "8",
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0)),
-    )
-    proj = F.aggregate(
-        F.zip_with(embedding, weights, lambda x, w: x.cast("double") * w),
+def _pm1_weights(prefix: str, dim: int) -> list[float]:
+    """Precomputed +-1 weight vector: +1 iff the first hex char of
+    md5('<prefix>|<d>') is < '8'. These are CONSTANTS of the scheme — the
+    previous formulation recomputed dim x lists md5s per ROW inside the JVM
+    expression (measured 20s at 60k x 64d x 16 lists); literal arrays make
+    the dot a pure zip_with. The SQL oracle keeps the md5 formulation —
+    equality of results proves the constants match."""
+    return [
+        1.0 if hashlib.md5(f"{prefix}|{d}".encode()).hexdigest()[0] < "8" else -1.0
+        for d in range(dim)
+    ]
+
+
+def _dot_with_weights(embedding, weights: list[float]):
+    w = F.array(*[F.lit(x) for x in weights])
+    return F.aggregate(
+        F.zip_with(embedding, w, lambda x, wv: x.cast("double") * wv),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def hyperplane_sign_expr(embedding, plane: int, dim: int = 64):
+    """Deterministic pseudo-hyperplane: weight for dim d is +1 if the first
+    hex char of md5('<plane>|<d>') is < '8' else -1. Reproducible in SQL."""
+    proj = _dot_with_weights(embedding, _pm1_weights(str(plane), dim))
     return F.when(proj > 0, F.lit("1")).otherwise(F.lit("0"))
 
 
@@ -108,25 +119,11 @@ def lsh_bucket_knn(emb: DataFrame, queries: DataFrame, k: int = 5, planes: int =
     )
 
 
-def centroid_dot_expr(embedding, l: int):
+def centroid_dot_expr(embedding, l: int, dim: int = 64):
     """dot(embedding, pseudo-centroid l): centroid weight for dim d is +-1
-    by the first hex char of md5('ivf<l>|<d>') — deterministic, SQL-mirrorable."""
-    dim = F.size(embedding)
-    weights = F.transform(
-        F.sequence(F.lit(0), dim - 1),
-        lambda d: F.when(
-            F.substring(
-                F.md5(F.concat_ws("|", F.lit(f"ivf{l}"), d.cast("string"))), 1, 1
-            )
-            < "8",
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0)),
-    )
-    return F.aggregate(
-        F.zip_with(embedding, weights, lambda x, w: x.cast("double") * w),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    by the first hex char of md5('ivf<l>|<d>') — deterministic constants,
+    materialized as literal arrays (see _pm1_weights)."""
+    return _dot_with_weights(embedding, _pm1_weights(f"ivf{l}", dim))
 
 
 def ivf_probe_knn(
@@ -177,13 +174,7 @@ def centroid_ivf_assign(emb: DataFrame, n_lists: int = 16) -> DataFrame:
     pseudo-centroid is the +-1 hyperplane of md5('ivf<l>|<d>'). Stands in
     for k-means centroids (which need training); the routing/plumbing —
     assign, partition by list, probe nearest lists — is the real shape."""
-    def centroid_dot(l: int):
-        return centroid_dot_expr(F.col("embedding"), l)
-
-    best = F.lit(0)
-    best_score = centroid_dot(0)
-    for l in range(1, n_lists):
-        s = centroid_dot(l)
-        best = F.when(s > best_score, F.lit(l)).otherwise(best)
-        best_score = F.greatest(best_score, s)
+    scores = F.array(*[centroid_dot_expr(F.col("embedding"), l) for l in range(n_lists)])
+    # first max wins ties (lowest l) — matches the oracle's ORDER BY s DESC, l
+    best = F.array_position(scores, F.array_max(scores)) - 1
     return emb.withColumn("ivf_list", best.cast("int"))

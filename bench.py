@@ -45,7 +45,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_exact_md5",
     "ann_knn_bruteforce",
+    "ann_ivf_search",
     "text_stats_quality",
+    "sessionize_events",
+    "multimodal_frame_sample",
 ]
 
 
