@@ -35,13 +35,28 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def sequences_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sequences_from_documents(
+    spark: SparkSession, sf_dir: str, materialized: bool = True
+) -> DataFrame:
     """North-rule ``sequences`` derived from the driver ``documents`` table.
 
     doc_id/source come from documents; tokens spell the synthetic log line
     rendered from the numeric doc_id (same renderer as the pure-synth
     fixture, so parsing/abstraction behave identically).
+
+    ``materialized`` (default): the derivation is written once per sf to a
+    /tmp parquet cache and read back — the engine's real input is a TABLE,
+    not an expression tree; without this, every query over sequences re-pays
+    the fixture rendering (line format + tokenize) instead of a scan.
     """
+    if materialized:
+        label = os.path.basename(sf_dir.rstrip("/"))
+        cache = f"/tmp/abslog_sequences_{label}"
+        if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+            sequences_from_documents(spark, sf_dir, materialized=False).write.mode(
+                "overwrite"
+            ).parquet(cache)
+        return spark.read.parquet(cache)
     docs = read_table(spark, sf_dir, "documents")
     i = F.col("doc_id").cast("long")
     line = log_line_expr(i)
