@@ -113,3 +113,60 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events")
     return sessionize_batch(ev, gap_minutes=30, key_col="user_id")
+
+
+_STREAM_WINDOW_SQL = f"""
+{_PIPE_FIELDS_CTE}
+SELECT sink, site, minute, uri_abs,
+       CAST(count(*) AS BIGINT)   AS pv,
+       CAST(sum(bytes) AS BIGINT) AS bytes_sum,
+       round(sum(rt), 6)          AS rt_sum,
+       round(min(rt), 6)          AS rt_min,
+       round(max(rt), 6)          AS rt_max,
+       CAST(sum(CASE WHEN status >= 400 THEN 1 ELSE 0 END) AS BIGINT) AS err_hits
+FROM f
+GROUP BY 1, 2, 3, 4
+"""
+
+
+@register("streaming_windowed_agg", _STREAM_WINDOW_SQL)
+def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Structured Streaming event-time tumbling-window aggregate
+    (watermarked state-store path, complete mode over a finite availableNow
+    stream) vs the closed-form batch oracle."""
+    import uuid
+
+    from abs_log_spark.streaming import read_sequence_stream, streaming_minute_agg
+
+    work = tempfile.mkdtemp(prefix="abslog_stream_w_")
+    input_dir = os.path.join(work, "input")
+    sequences_from_documents(spark, sf_dir).repartition(4).write.parquet(input_dir)
+
+    agg = streaming_minute_agg(
+        read_sequence_stream(spark, input_dir), gen_sources_dim(spark, n_sources=20)
+    )
+    qname = f"swin_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(qname).select(
+        "sink",
+        "site",
+        "minute",
+        "uri_abs",
+        "pv",
+        "bytes_sum",
+        F.round("rt_sum", 6).alias("rt_sum"),
+        F.round("rt_min", 6).alias("rt_min"),
+        F.round("rt_max", 6).alias("rt_max"),
+        "err_hits",
+    )
+    rows = out.collect()
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
