@@ -74,8 +74,17 @@ def run_pipeline_bench(spark, n_rows: int, warehouse: str) -> dict:
     from abs_log_spark.plans.pipeline import PipelineConfig, run_pipeline
     from abs_log_spark.sources.synth import gen_sequences, gen_sources_dim
 
+    # materialize the input ONCE (cached across bench runs): the engine's
+    # contract is a stored sequences table; timing lazy fixture synthesis
+    # inside the run would charge line-rendering to the pipeline.
+    input_dir = f"/tmp/abslog_bench_pipeline_input_{n_rows}"
+    if not os.path.isdir(input_dir):
+        gen_sequences(spark, n_rows, invalid_every=1000).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(input_dir)
+
     shutil.rmtree(warehouse, ignore_errors=True)
-    seq = gen_sequences(spark, n_rows, invalid_every=1000)
+    seq = spark.read.parquet(input_dir)
     dim = gen_sources_dim(spark)
     t0 = time.monotonic()
     run_pipeline(spark, Catalog(root=warehouse), seq, dim, run_id="bench",
