@@ -574,3 +574,39 @@ def abs_custom_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ruled = apply_abs_rules(base)
     return ruled.groupBy("site", "uri_abs").agg(F.count("*").alias("pv"))
+
+
+_ROLLUP_SQL = f"""
+{_PIPE_FIELDS_CTE}
+SELECT coalesce(site, 'ALL') AS site,
+       coalesce(uri_abs, 'ALL') AS uri_abs,
+       CAST(count(*) AS BIGINT) AS pv,
+       CAST(sum(bytes) AS BIGINT) AS bytes_sum,
+       CAST(grouping(site) * 2 + grouping(uri_abs) AS INT) AS lvl
+FROM f
+GROUP BY ROLLUP (site, uri_abs)
+"""
+
+
+@register("rollup_site_uri", _ROLLUP_SQL)
+def rollup_site_uri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical margins via ROLLUP (site -> uri_abs -> grand total) over
+    the routed relation — the report-margin surface Catalyst provides free
+    (expands to grouping sets, one shuffle). grouping() bits disambiguate
+    data 'ALL' from margin rows."""
+    routed = _routed(spark, sf_dir)
+    return (
+        routed.rollup("site", "uri_abs")
+        .agg(
+            F.count("*").alias("pv"),
+            F.sum("bytes").cast("long").alias("bytes_sum"),
+            (F.grouping("site") * 2 + F.grouping("uri_abs")).cast("int").alias("lvl"),
+        )
+        .select(
+            F.coalesce(F.col("site"), F.lit("ALL")).alias("site"),
+            F.coalesce(F.col("uri_abs"), F.lit("ALL")).alias("uri_abs"),
+            "pv",
+            "bytes_sum",
+            "lvl",
+        )
+    )
