@@ -29,7 +29,8 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="abs-log-spark report CLI")
     p.add_argument("warehouse")
     p.add_argument("sink")
-    p.add_argument("view", choices=["request", "trend", "error"])
+    p.add_argument("view", choices=["request", "trend", "error", "detail", "ip"])
+    p.add_argument("--uri", default=None, help="uri_abs filter for the detail view")
     p.add_argument("--from", dest="t_from", default=None, help="YYYYMMDDHHMM")
     p.add_argument("--to", dest="t_to", default=None, help="YYYYMMDDHHMM")
     p.add_argument("-l", "--limit", type=int, default=10)
@@ -49,15 +50,23 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(app_name="abs-log-spark:log_show", master=args.master)
     cat = Catalog(root=args.warehouse)
 
-    table = f"errors_{args.sink}" if args.view == "error" else f"minute_agg_{args.sink}"
+    if args.view == "error":
+        table = f"errors_{args.sink}"
+    elif args.view in ("detail", "ip"):
+        # these drill past the minute summaries into the routed rows
+        # (column-pruned parquet read: args_abs/source/measures only)
+        table = f"routed_{args.sink}"
+    else:
+        table = f"minute_agg_{args.sink}"
     if not cat.exists(table):
         print(f"no table {table} under {args.warehouse}", file=sys.stderr)
         return 2
     df = cat.read(spark, table)
+    ts_col = "ts" if args.view in ("detail", "ip") else "minute"
     if args.t_from:
-        df = df.where(F.col("minute") >= F.lit(_parse_ymdhm(args.t_from)))
+        df = df.where(F.col(ts_col) >= F.lit(_parse_ymdhm(args.t_from)))
     if args.t_to:
-        df = df.where(F.col("minute") < F.lit(_parse_ymdhm(args.t_to)))
+        df = df.where(F.col(ts_col) < F.lit(_parse_ymdhm(args.t_to)))
 
     if args.view == "request":
         agg = df.groupBy("uri_abs").agg(
@@ -77,6 +86,27 @@ def main(argv: list[str] | None = None) -> int:
             .orderBy("bucket")
             .limit(args.limit)
         )
+    elif args.view == "detail":
+        # reference: log_show request detail <uri> — per-args breakdown of
+        # one abstracted endpoint ([PK] log_show.py detail view)
+        d = df.where(F.col("valid"))
+        if args.uri:
+            d = d.where(F.col("uri_abs") == args.uri)
+        agg = d.groupBy("uri_abs", "args_abs").agg(
+            F.count("*").alias("hits"),
+            F.sum("bytes").alias("bytes"),
+            F.round(F.sum("rt"), 3).alias("time"),
+        )
+        agg = with_pct_of_total(agg, ["hits"], ["uri_abs"])
+        out = top_n_per_group(agg, ["uri_abs"], "hits", args.limit)
+    elif args.view == "ip":
+        # reference: log_show ip — top sources by hits ([PK] ip view)
+        agg = df.groupBy("source").agg(
+            F.count("*").alias("hits"),
+            F.sum("bytes").alias("bytes"),
+        )
+        agg = with_pct_of_total(agg, ["hits"])
+        out = top_n_per_group(agg, [], "hits", args.limit)
     else:  # error
         out = (
             df.groupBy("status")
