@@ -38,13 +38,19 @@ def test_spark_submit_pyfiles_and_log_show(tmp_path):
     assert summary["buckets_processed"] == 2
     assert summary["rows_in"] == 2000
 
-    show = subprocess.run(
-        [
-            sys.executable, os.path.join(REPO, "jobs", "log_show.py"),
-            wh, "sink_a", "request", "--limit", "3", "--master", "local[2]",
-        ],
-        capture_output=True, text=True, timeout=600,
-        env={**env, "PYTHONPATH": REPO},
-    )
-    assert show.returncode == 0, show.stderr[-3000:]
-    assert "uri_abs" in show.stdout and "hits_pct" in show.stdout
+    for view, extra, must_have in (
+        (["request"], [], ("uri_abs", "hits_pct")),
+        (["detail"], ["--uri", "/search"], ("args_abs", "hits_pct")),
+        (["ip"], [], ("source", "hits_pct")),
+    ):
+        show = subprocess.run(
+            [
+                sys.executable, os.path.join(REPO, "jobs", "log_show.py"),
+                wh, "sink_a", *view, *extra, "--limit", "3", "--master", "local[2]",
+            ],
+            capture_output=True, text=True, timeout=600,
+            env={**env, "PYTHONPATH": REPO},
+        )
+        assert show.returncode == 0, (view, show.stderr[-3000:])
+        for token in must_have:
+            assert token in show.stdout, (view, show.stdout[-500:])
