@@ -1,19 +1,19 @@
 """Similarity primitives for dedup / near-dup detection at training-data scale.
 
-Design constraint: every hash is derived from ``md5`` of strings, so the
-exact same algorithm is expressible in ANSI SQL (DuckDB oracle) — no
-engine-specific hash functions. The lexicographic MIN of ``md5(seed||'|'||x)``
-is a valid MinHash permutation proxy: md5 is a fixed pseudo-random
-permutation of the shingle universe per seed, and taking the min of its hex
-encoding picks the same element as taking the min of the integer value.
+Design constraint: every hash derives from ``md5`` of strings, so the exact
+same algorithm is expressible in ANSI SQL (DuckDB oracle) — no
+engine-specific hash functions. MinHash uses md5 once per shingle to get a
+32-bit int, then K affine permutations ``(a*h + b) % p`` (exact in BIGINT in
+any engine); min over a doc's shingle multiset is the signature.
 
 Scale notes (100 TB corpus):
-- shingling explodes each doc into ~n_words rows; MinHash reduces each doc
-  to K columns BEFORE any join — the only shuffles are groupBy(doc) and the
-  band-bucket join, both on bounded-size rows (no raw text moves).
-- LSH banding turns all-pairs O(N^2) into per-bucket joins; bucket sizes are
-  bounded by collision probability, and a hot bucket (boilerplate dup
-  cluster) is exactly the AQE skew-join case.
+- signatures are computed inside the row (array_min over transform) — no
+  shingle explode, no shuffle; the only shuffles are the band-bucket groupBy
+  and the candidate-pair joins, all on bounded-size rows (raw text never
+  moves).
+- LSH banding turns all-pairs O(N^2) into per-bucket pair expansion; bucket
+  sizes are bounded by collision probability, and a hot bucket (boilerplate
+  dup cluster) is exactly the AQE skew case — run exact dedup first.
 """
 
 from __future__ import annotations
@@ -47,24 +47,6 @@ def shingles_col(text: Column, k: int = 3) -> Column:
 
 def exploded_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     return df.select("doc_id", F.explode(shingles_col(F.col(text_col), k)).alias("s"))
-
-
-def minhash_signature(shingle_rows: DataFrame, seeds: int = MINHASH_SEEDS) -> DataFrame:
-    """(doc_id, s) rows -> one row per doc with h0..h{K-1} minhash columns.
-
-    One groupBy(doc_id) with K conditional-min aggregates — the seed
-    dimension is exploded once, never joined.
-    """
-    seeded = shingle_rows.select(
-        "doc_id",
-        F.explode(F.array(*[F.lit(i) for i in range(seeds)])).alias("seed"),
-        "s",
-    ).withColumn("h", F.md5(F.concat_ws("|", F.col("seed").cast("string"), F.col("s"))))
-    aggs = [
-        F.min(F.when(F.col("seed") == i, F.col("h"))).alias(f"h{i}")
-        for i in range(seeds)
-    ]
-    return seeded.groupBy("doc_id").agg(*aggs)
 
 
 def band_buckets(sig: DataFrame, seeds: int = MINHASH_SEEDS, band_size: int = BAND_SIZE) -> DataFrame:

@@ -19,7 +19,7 @@ import hashlib
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from abs_log_spark.functions.similarity import cosine_col, dot_col
+from abs_log_spark.functions.similarity import cosine_col
 
 
 def brute_force_knn(
