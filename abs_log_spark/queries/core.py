@@ -610,3 +610,41 @@ def rollup_site_uri(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lvl",
         )
     )
+
+
+_BRAND_NATION_SQL = """
+SELECT p_brand,
+       n_name AS supp_nation,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       round(sum(l_quantity), 6) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
+@register("brand_nation_revenue", _BRAND_NATION_SQL)
+def brand_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style profit slice: revenue per (part brand, supplier
+    nation). Completes driver-table coverage (part + supplier). part and
+    supplier broadcast (dims); lineitem never shuffles for the joins."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast("long")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("p_brand", F.col("n_name").alias("supp_nation"))
+        .agg(
+            F.sum(cents).alias("revenue_cents"),
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.count("*").alias("n_items"),
+        )
+    )
