@@ -176,3 +176,59 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return sample_frames(attach_payload(docs), every=2)
+
+
+_CURATION_SQL = """
+WITH all_docs AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang FROM documents  -- injected exact dups
+),
+surv AS (
+  SELECT min(doc_id) AS doc_id FROM all_docs GROUP BY md5(text)
+),
+kept AS (
+  SELECT d.* FROM all_docs d JOIN surv USING (doc_id)
+),
+scored AS (
+  SELECT lang,
+         round(
+           0.4 * least(length(text) / 400.0, 1.0)
+         + 0.3 * least(((length(text) - (len(string_split(text,' ')) - 1))
+                        / len(string_split(text,' '))) / 8.0, 1.0)
+         + 0.3 * (length(regexp_replace(text, '[^a-z]', '', 'g'))
+                  / greatest(length(text), 1)), 6) AS q
+  FROM kept
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(q), 6) AS avg_quality
+FROM scored WHERE q >= 0.5 GROUP BY 1
+"""
+
+
+@register("curation_pipeline", _CURATION_SQL)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composition: inject exact duplicates -> exact
+    dedup (md5 hash-groupBy survivors) -> quality filter (>= 0.5) -> per-
+    language corpus stats. Demonstrates that the training-data operators
+    compose as one declarative plan: dedup agg + survivor semi-join +
+    quality expr + final agg, two shuffles total, no intermediate
+    materialization."""
+    from abs_log_spark.operators.dedup import dedup_exact
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    all_docs = docs.unionByName(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang")
+    )
+    surv = dedup_exact(all_docs).select(F.col("keep_id").alias("doc_id"))
+    kept = all_docs.join(surv, "doc_id")
+    scored = kept.select("lang", quality_score_col(F.col("text")).alias("q"))
+    return (
+        scored.where(F.col("q") >= 0.5)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+        )
+    )
