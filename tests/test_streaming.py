@@ -93,3 +93,88 @@ def test_foreachbatch_partials_merge_to_batch_answer(spark, tmp_path, tmp_catalo
             if gg is None and ww is None:
                 continue
             assert math.isclose(gg, ww, rel_tol=1e-9, abs_tol=1e-9), (k, gg, ww)
+
+
+def _seq_rows(spark, minute_events):
+    """Build sequences rows whose rendered log lines carry chosen minutes
+    (within the fixture's 2h window): one row per (minute, seq) pair."""
+    from pyspark.sql import Row
+
+    def line(minute, i):
+        return (
+            f'10.0.0.{i % 250} - [01/Jan/2024:{minute // 60:02d}:{minute % 60:02d}:00 +0000] '
+            f'"GET /search HTTP/1.1" 200 1000 0.100'
+        )
+
+    rows = []
+    for j, m in enumerate(minute_events):
+        text = line(m, j)
+        toks = [ord(c) for c in text]
+        rows.append(Row(doc_id=f"d{j}", tokens=toks, n_tok=len(toks),
+                        source="src0", part_bucket=0))
+    return spark.createDataFrame(rows, schema="doc_id string, tokens array<int>, n_tok int, source string, part_bucket int")
+
+
+def test_watermark_append_semantics(spark, tmp_path):
+    """Append-mode event-time guarantees: late data within the watermark
+    delay is aggregated; each window is emitted exactly once, only after the
+    watermark passes it; open windows are withheld. (Dropping of too-late
+    rows is best-effort in Spark and intentionally NOT asserted.)"""
+    import glob
+    import os
+    import shutil
+
+    from abs_log_spark.sources.synth import gen_sources_dim
+
+    input_dir = str(tmp_path / "wm_in")
+    os.makedirs(input_dir)
+
+    def add_slice(i, minutes, mtime):
+        """One named parquet file per slice with a controlled mtime so the
+        file source's oldest-first ordering is deterministic."""
+        staging = str(tmp_path / f"wm_stage_{i}")
+        _seq_rows(spark, minutes).coalesce(1).write.parquet(staging)
+        src = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        dst = os.path.join(input_dir, f"slice{i}.parquet")
+        shutil.copy(src, dst)
+        os.utime(dst, (mtime, mtime))
+
+    base = 1_700_000_000
+    add_slice(0, [0, 1, 2, 2, 2, 3, 4, 5], base)  # 3 hits at minute 2
+    # a late minute-2 event rides with the minute-60 event that will push
+    # the watermark to 00:50 -> it must be counted (within the 10-min delay
+    # when it arrived)
+    add_slice(1, [60, 2], base + 60)
+    add_slice(2, [61], base + 120)  # advances wm past 00:51; 60/61 stay open
+
+    from abs_log_spark.streaming import read_sequence_stream, streaming_minute_agg
+
+    agg = streaming_minute_agg(
+        read_sequence_stream(spark, input_dir, max_files_per_trigger=1),
+        gen_sources_dim(spark),
+        watermark="10 minutes",
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wmtest")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("wmtest").collect()
+    got = {str(r["minute"]): r["pv"] for r in rows}
+
+    assert len(rows) == len(got), "append mode must emit each window once"
+    # open windows (beyond the final watermark) are withheld
+    assert "2024-01-01 01:00:00" not in got and "2024-01-01 01:01:00" not in got
+    # closed windows all emitted; the late-but-in-delay event is counted
+    assert got == {
+        "2024-01-01 00:00:00": 1,
+        "2024-01-01 00:01:00": 1,
+        "2024-01-01 00:02:00": 4,
+        "2024-01-01 00:03:00": 1,
+        "2024-01-01 00:04:00": 1,
+        "2024-01-01 00:05:00": 1,
+    }, got
