@@ -29,8 +29,8 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="abs-log-spark report CLI")
     p.add_argument("warehouse")
     p.add_argument("sink")
-    p.add_argument("view", choices=["request", "trend", "error", "detail", "ip"])
-    p.add_argument("--uri", default=None, help="uri_abs filter for the detail view")
+    p.add_argument("view", choices=["request", "trend", "distribution", "error", "detail", "ip"])
+    p.add_argument("--uri", default=None, help="uri_abs filter (detail / trend views)")
     p.add_argument("--from", dest="t_from", default=None, help="YYYYMMDDHHMM")
     p.add_argument("--to", dest="t_to", default=None, help="YYYYMMDDHHMM")
     p.add_argument("-l", "--limit", type=int, default=10)
@@ -79,7 +79,11 @@ def main(argv: list[str] | None = None) -> int:
             "rank", "uri_abs", "hits", "hits_pct", "bytes", "bytes_pct",
             F.round("time", 3).alias("time"), "time_pct",
         )
-    elif args.view == "trend":
+    elif args.view in ("trend", "distribution"):
+        # reference name: 'distribution' — per-bucket totals, optionally for
+        # a single abstracted endpoint ([PK] log_show request distribution <uri>)
+        if args.uri:
+            df = df.where(F.col("uri_abs") == args.uri)
         out = (
             trend(df.withColumn("sink", F.lit(args.sink)), grain=args.group_by)
             .drop("sink")

@@ -214,3 +214,34 @@ def test_zipf_skew_and_aligned_layout_balance(spark):
     assert sizes.max() <= 2.0 * sizes.mean(), (
         f"aligned layout leaves a straggler partition: {sorted(sizes)}"
     )
+
+
+def test_crashed_staging_recovery(spark, tmp_catalog):
+    """A crash mid-staging-write leaves _routed_staging behind; the next run
+    must clear it and produce exactly the clean-run outputs (idempotence of
+    the promote protocol)."""
+    import os
+
+    from abs_log_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from abs_log_spark.sources.synth import gen_sequences, gen_sources_dim
+
+    # simulate a crashed run: stale partial staging with garbage partitions
+    stale = tmp_catalog.path("_routed_staging")
+    os.makedirs(os.path.join(stale, "sink=sink_a", "part_bucket=99"))
+    with open(os.path.join(stale, "sink=sink_a", "part_bucket=99", "part-junk.parquet"), "w") as f:
+        f.write("not parquet")
+
+    seq = gen_sequences(spark, 2000, invalid_every=0)
+    dim = gen_sources_dim(spark)
+    summary = run_pipeline(spark, tmp_catalog, seq, dim, run_id="recover",
+                           cfg=PipelineConfig(resume=True))
+    assert summary["rows_in"] == 2000
+    assert not os.path.exists(stale)
+    # garbage bucket never promoted
+    assert not os.path.exists(tmp_catalog.path("routed_sink_a") + "/part_bucket=99")
+    total = sum(
+        tmp_catalog.read(spark, f"routed_{s}").count()
+        for s in ("sink_a", "sink_b", "sink_c")
+        if tmp_catalog.exists(f"routed_{s}")
+    )
+    assert total == 2000
