@@ -73,37 +73,28 @@ def simhash_pairs(
     """Near-dup pairs via SimHash chunk-LSH (any equal 8-bit chunk at the
     same position -> candidate), verified by Hamming distance."""
     sig = simhash_signature(df, text_col)
+    # chunk-LSH reuses the banded candidate machinery: band = chunk index,
+    # bucket = the 8-bit substring (one groupBy + in-row pairing, see
+    # similarity.candidate_pairs)
     chunks = sig.select(
         "doc_id",
-        "simhash",
         F.explode(
             F.array(*[
                 F.struct(
-                    F.lit(c).alias("chunk"),
-                    F.substring("simhash", c * 8 + 1, 8).alias("val"),
+                    F.lit(c).alias("band"),
+                    F.substring("simhash", c * 8 + 1, 8).alias("bucket"),
                 )
                 for c in range(4)
             ])
         ).alias("cb"),
-    ).select("doc_id", "simhash", F.col("cb.chunk").alias("chunk"), F.col("cb.val").alias("val"))
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .distinct()
-    )
+    ).select("doc_id", "cb.band", "cb.bucket")
+    cand = candidate_pairs(chunks)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
     return (
-        cand.withColumn("hamming", hamming_col(F.col("sh_a"), F.col("sh_b")))
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", hamming_col(F.col("sh_a"), F.col("sh_b")))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
