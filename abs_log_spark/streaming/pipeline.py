@@ -113,8 +113,17 @@ def merge_agg_partials(partials: DataFrame) -> DataFrame:
     columns are per-batch only and intentionally dropped here — exact
     cross-batch quantiles require the raw values (the batch pipeline's job);
     the reference has the same split (per-run quartiles, summed reports).
+
+    Exactly-once under foreachBatch replay: a crash between the partials
+    append and the streaming checkpoint commit re-runs the SAME batch_id over
+    the same input files; the deterministic transform re-appends identical
+    partial rows. Deduping on (batch_id, group keys) before summing restores
+    exactly-once — without it every replayed batch double-counts pv/bytes/rt.
     """
-    return partials.groupBy("sink", "site", "minute", "uri_abs").agg(
+    keys = ("sink", "site", "minute", "uri_abs")
+    if "batch_id" in partials.columns:
+        partials = partials.dropDuplicates(["batch_id", *keys])
+    return partials.groupBy(*keys).agg(
         *[
             F.sum(m).cast("double" if m == "rt_sum" else "long").alias(m)
             for m in _MERGEABLE

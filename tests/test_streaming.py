@@ -95,6 +95,37 @@ def test_foreachbatch_partials_merge_to_batch_answer(spark, tmp_path, tmp_catalo
             assert math.isclose(gg, ww, rel_tol=1e-9, abs_tol=1e-9), (k, gg, ww)
 
 
+def test_foreachbatch_replay_is_exactly_once(spark, tmp_path, tmp_catalog, seq_input):
+    """Crash-recovery scenario: the partials append committed but the
+    streaming checkpoint did not, so the restarted query re-runs the same
+    batch_id and re-appends identical partial rows. The merge must dedup on
+    (batch_id, keys) so measures are NOT double-counted."""
+    seq, input_dir = seq_input
+    dim = gen_sources_dim(spark)
+    q = run_stream_foreach_batch(
+        spark,
+        tmp_catalog,
+        input_dir,
+        dim,
+        checkpoint_dir=str(tmp_path / "ckpt_replay"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+
+    partials = tmp_catalog.read(spark, "minute_agg_partials")
+    clean = merge_agg_partials(partials)
+    want = _rows(clean, (KEYS, ["pv", "bytes_sum", "err_hits", "invalid_hits"]))
+
+    # simulate the replay: batch 0's rows land a second time, bit-identical
+    replay = partials.where("batch_id = 0")
+    assert replay.count() > 0
+    tmp_catalog.append(replay, "minute_agg_partials")
+
+    merged = merge_agg_partials(tmp_catalog.read(spark, "minute_agg_partials"))
+    got = _rows(merged, (KEYS, ["pv", "bytes_sum", "err_hits", "invalid_hits"]))
+    assert got == want
+
+
 def _seq_rows(spark, minute_events):
     """Build sequences rows whose rendered log lines carry chosen minutes
     (within the fixture's 2h window): one row per (minute, seq) pair."""
