@@ -86,6 +86,95 @@ def minute_agg(
     )
 
 
+def minute_agg_hist_partials(
+    routed: DataFrame,
+    keys: tuple[str, ...] = GROUP_KEYS,
+    bucket_col: str = "part_bucket",
+) -> DataFrame:
+    """Per-input-bucket MERGEABLE minute-agg partials — the incremental-resume
+    path's unit of work ([B] north_rule: incremental runs must not re-scan
+    completed history).
+
+    Grain: (keys..., bucket, rt). Carrying the distinct rt values WITH their
+    counts makes the partial a lossless histogram: every minute_agg measure —
+    including EXACT quantiles — re-derives from partials alone, so an
+    incremental run aggregates only its new buckets and the final summary is
+    a fold over the (tiny) partials table, never the routed history.
+
+    Scale: partial size per group is bounded by the rt value resolution
+    (milliseconds here — the reference logs %.3f request_time [PK]); for a
+    continuous measure, quantize rt at this stage (the partial becomes the
+    sketch). The write is partitioned by ``bucket_col`` so a re-run of a
+    bucket replaces exactly its own partials (dynamic partition overwrite).
+    """
+    df = routed.withColumn("minute", F.date_trunc("minute", F.col("ts")))
+    return df.groupBy(*[F.col(k) for k in keys], F.col(bucket_col), F.col("rt")).agg(
+        F.sum(F.when(F.col("valid"), 1).otherwise(0)).alias("pv"),
+        F.coalesce(F.sum("bytes"), F.lit(0)).cast("long").alias("bytes_sum"),
+        F.count("rt").alias("rt_cnt"),
+        F.sum(F.when(F.col("status") >= 400, 1).otherwise(0)).alias("err_hits"),
+        F.sum(F.when(~F.col("valid"), 1).otherwise(0)).alias("invalid_hits"),
+    )
+
+
+def merge_minute_agg_hist_partials(
+    partials: DataFrame, keys: tuple[str, ...] = GROUP_KEYS
+) -> DataFrame:
+    """Fold histogram partials into the exact minute_agg result (same schema
+    and values as ``minute_agg(..., exact_quantiles=True)`` over the full
+    history — verified by the oracle twin and pytest equivalence).
+
+    Quantiles use Spark's frequency-weighted exact ``percentile`` over the
+    (rt, rt_cnt) histogram — identical interpolation to percentile over the
+    expanded raw values. Null rt rows (the invalid-line group) are ignored by
+    the aggregate; their frequency is clamped to 1 to satisfy the positive-
+    frequency requirement.
+    """
+    ps = F.array(*[F.lit(p) for p in _QS])
+    q = F.percentile(F.col("rt"), ps, F.greatest(F.col("rt_cnt"), F.lit(1)))
+    out = partials.groupBy(*[F.col(k) for k in keys]).agg(
+        F.sum("pv").cast("long").alias("pv"),
+        F.sum("bytes_sum").cast("long").alias("bytes_sum"),
+        F.sum(F.col("rt") * F.col("rt_cnt")).alias("rt_sum"),
+        (F.sum(F.col("rt") * F.col("rt_cnt")) / F.sum("rt_cnt")).alias("rt_avg"),
+        F.min("rt").alias("rt_min"),
+        q.alias("_rt_q"),
+        F.max("rt").alias("rt_max"),
+        F.sum("err_hits").cast("long").alias("err_hits"),
+        F.sum("invalid_hits").cast("long").alias("invalid_hits"),
+    )
+    return out.select(
+        *keys,
+        "pv",
+        "bytes_sum",
+        "rt_sum",
+        "rt_avg",
+        "rt_min",
+        F.element_at("_rt_q", 1).alias("rt_p25"),
+        F.element_at("_rt_q", 2).alias("rt_p50"),
+        F.element_at("_rt_q", 3).alias("rt_p75"),
+        "rt_max",
+        "err_hits",
+        "invalid_hits",
+    )
+
+
+def error_view_partials(routed: DataFrame, bucket_col: str = "part_bucket") -> DataFrame:
+    """Per-bucket partials of :func:`error_view` (counts merge by sum)."""
+    return (
+        routed.where(F.col("valid") & (F.col("status") >= 400))
+        .withColumn("minute", F.date_trunc("minute", F.col("ts")))
+        .groupBy("sink", "minute", "status", F.col(bucket_col))
+        .agg(F.count("*").alias("hits"))
+    )
+
+
+def merge_error_partials(partials: DataFrame) -> DataFrame:
+    return partials.groupBy("sink", "minute", "status").agg(
+        F.sum("hits").cast("long").alias("hits")
+    )
+
+
 def salted_minute_agg(
     routed: DataFrame,
     salt_buckets: int = 16,

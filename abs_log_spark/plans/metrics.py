@@ -47,6 +47,14 @@ class StageMetrics:
             F.sum(F.when(~F.col("valid"), 1).otherwise(0)).alias("rows_invalid"),
         )
 
+    def observe_agg_input(self, df: DataFrame) -> DataFrame:
+        """Rows entering the incremental-summary aggregation — on a resumed
+        run this must equal the INCREMENT size, not the total history (the
+        test hook proving the aggregate never re-scans completed buckets)."""
+        obs = Observation("agg_input")
+        self.observations["agg_input"] = obs
+        return df.observe(obs, F.count(F.lit(1)).alias("rows_agg_input"))
+
     def flush(
         self, spark: SparkSession, cat: Catalog, run_id: str, partition_keys: list[str]
     ) -> dict:

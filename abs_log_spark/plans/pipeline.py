@@ -39,7 +39,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from abs_log_spark.catalog import Catalog
 from abs_log_spark.functions.abstract import args_abs_col, uri_abs_col
 from abs_log_spark.functions.parse import parse_arrow, parse_expr
-from abs_log_spark.operators.aggregate import error_view, minute_agg
+from abs_log_spark.operators.aggregate import (
+    error_view,
+    error_view_partials,
+    merge_error_partials,
+    merge_minute_agg_hist_partials,
+    minute_agg,
+    minute_agg_hist_partials,
+)
 from abs_log_spark.operators.enrich import enrich
 from abs_log_spark.plans import checkpoint as ckpt
 from abs_log_spark.plans.metrics import StageMetrics
@@ -62,6 +69,12 @@ class PipelineConfig:
     #: (reference semantics: excluded lines never enter the stats). Invalid
     #: rows are never excluded — invalid_hits stays accurate.
     exclude_uri: str | None = None
+    #: incremental summaries: aggregate ONLY this run's new buckets into
+    #: mergeable per-bucket partials and fold partials into the final
+    #: summaries — a resumed run never re-scans completed routed history.
+    #: False = recompute summaries from all routed tables (the simple path,
+    #: kept for equivalence testing; cost grows with total history).
+    incremental_agg: bool = True
 
 
 def abstract_stage(df: DataFrame) -> DataFrame:
@@ -158,45 +171,94 @@ def run_pipeline(
     if buckets:
         ckpt.mark_done(spark, cat, run_id, "routed", buckets)
 
-    # Derived aggregates, recomputed from the routed tables (all buckets,
-    # incl. previously completed -> resume-safe without partial-agg merges).
-    # Parquet column pruning means this read-back skips the token arrays
-    # entirely — it touches only the small measure/key columns. ONE aggregate
-    # over all sinks (sink is a group key); per-sink outputs are filters of
-    # the tiny result.
-    parts = []
-    for sink in sinks:
-        tbl = f"routed_{sink}"
-        if cat.exists(tbl):
+    # Derived aggregates. Two paths:
+    #
+    # incremental (default, the 10^12-row resume story): aggregate ONLY this
+    # run's new buckets into mergeable per-bucket partials (lossless rt
+    # histograms -> EXACT quantiles survive the merge, see
+    # operators.aggregate.minute_agg_hist_partials), written with dynamic
+    # partition overwrite keyed by part_bucket (idempotent bucket re-runs).
+    # The final summaries fold the partials table — aggregate-sized, never
+    # the routed history. Incremental cost ∝ increment, not total history.
+    #
+    # full (cfg.incremental_agg=False): recompute from all routed tables;
+    # parquet column pruning keeps it off the token arrays. Kept as the
+    # equivalence baseline — both paths must produce identical summaries.
+    def _routed_union(bucket_filter: list[str] | None) -> DataFrame | None:
+        parts = []
+        for sink in sinks:
+            tbl = f"routed_{sink}"
+            if not cat.exists(tbl):
+                continue
+            r = cat.read(spark, tbl)
+            if bucket_filter is not None:
+                # partition column -> this predicate prunes whole bucket
+                # directories at the scan (PartitionFilters, zero data read
+                # from completed buckets)
+                r = r.where(F.col("part_bucket").isin([int(b) for b in bucket_filter]))
             parts.append(
-                cat.read(spark, tbl)
-                .withColumn("sink", F.lit(sink))
-                .select(
-                    "sink", "site", "ts", "uri_abs", "rt", "bytes", "status", "valid"
+                r.withColumn("sink", F.lit(sink)).select(
+                    "sink", "site", "ts", "uri_abs", "rt", "bytes", "status",
+                    "valid", "part_bucket",
                 )
             )
-    if parts:
-        allr = parts[0]
+        if not parts:
+            return None
+        out = parts[0]
         for p in parts[1:]:
-            allr = allr.unionByName(p)
+            out = out.unionByName(p)
+        return out
+
+    def _fan_out(name: str, summary: DataFrame) -> None:
         # ONE write job per summary kind, fanned out to per-sink tables by a
         # partitioned write + directory promote (no per-sink filter jobs —
         # measured ~0.4s of scheduler overhead per tiny job). `_sink`
         # duplicates `sink` purely to drive the directory layout while
         # keeping the sink column inside the data files.
-        for name, summary in (
-            ("minute_agg_", minute_agg(allr, exact_quantiles=cfg.exact_quantiles)),
-            ("errors_", error_view(allr)),
-        ):
-            staging = f"_{name}staging"
-            cat.drop(staging)
-            cat.write(
-                summary.withColumn("_sink", F.col("sink")).repartition(F.col("_sink")),
-                staging,
-                partition_by=("_sink",),
+        staging = f"_{name}staging"
+        cat.drop(staging)
+        cat.write(
+            summary.withColumn("_sink", F.col("sink")).repartition(F.col("_sink")),
+            staging,
+            partition_by=("_sink",),
+        )
+        cat.promote_sink_tables(staging, name)
+
+    if cfg.incremental_agg:
+        if buckets:
+            inc = _routed_union(bucket_filter=buckets)
+            if inc is not None:
+                inc = metrics.observe_agg_input(inc)
+                # distinct from the streaming 'minute_agg_partials' table:
+                # batch partials are (keys, bucket, rt) histograms
+                cat.write(
+                    minute_agg_hist_partials(inc),
+                    "agg_partials",
+                    partition_by=("part_bucket",),
+                )
+                cat.write(
+                    error_view_partials(inc),
+                    "errors_partials",
+                    partition_by=("part_bucket",),
+                )
+        if cat.exists("agg_partials"):
+            _fan_out(
+                "minute_agg_",
+                merge_minute_agg_hist_partials(cat.read(spark, "agg_partials")),
             )
-            cat.promote_sink_tables(staging, name)
+        if cat.exists("errors_partials"):
+            _fan_out(
+                "errors_", merge_error_partials(cat.read(spark, "errors_partials"))
+            )
         metrics.mark("aggregate")
+    else:
+        allr = _routed_union(bucket_filter=None)
+        if allr is not None:
+            _fan_out(
+                "minute_agg_", minute_agg(allr, exact_quantiles=cfg.exact_quantiles)
+            )
+            _fan_out("errors_", error_view(allr))
+            metrics.mark("aggregate")
 
     vals = metrics.flush(spark, cat, run_id, buckets)
     vals["buckets_processed"] = len(buckets)

@@ -129,17 +129,39 @@ def ann_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_assign", None)  # plumbing demo: rows-only driver check
+_IVF_ASSIGN_SQL = """
+WITH cents AS (
+  SELECT l, list_transform(generate_series(0, 63),
+           d -> CASE WHEN substr(md5('ivf' || l::VARCHAR || '|' || d::VARCHAR), 1, 1) < '8'
+                     THEN 1.0 ELSE -1.0 END) AS w
+  FROM (SELECT unnest(generate_series(0, 15)) AS l)
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+scores AS (SELECT vec_id, l, list_dot_product(ev, w) AS s FROM e CROSS JOIN cents),
+assign AS (
+  SELECT vec_id, l AS ivf_list FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, l) AS rn
+    FROM scores
+  ) WHERE rn = 1
+)
+SELECT CAST(ivf_list AS INT) AS ivf_list,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(min(vec_id) AS BIGINT) AS min_vec_id
+FROM assign GROUP BY 1
+"""
+
+
+@register("ann_ivf_assign", _IVF_ASSIGN_SQL)
 def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style list assignment (argmax over 16 deterministic pseudo-
     centroids) + per-list occupancy — the partition-routing half of an IVF
-    index. No SQL oracle (16-way argmax SQL adds no verification value);
-    the driver records a rows-only check and unit tests cover determinism."""
+    index. The oracle restates the argmax as a row_number window over the
+    same dot products (ties: first max wins = lowest l on both sides)."""
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     assigned = centroid_ivf_assign(emb, n_lists=16)
     return assigned.groupBy("ivf_list").agg(
         F.count("*").alias("n_vectors"),
-        F.min("vec_id").alias("min_vec_id"),
+        F.min("vec_id").cast("long").alias("min_vec_id"),
     )
 
 

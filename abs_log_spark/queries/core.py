@@ -330,6 +330,42 @@ def pipeline_e2e_minute_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _e2e_agg(spark, sf_dir)
 
 
+@register("pipeline_incremental_agg", _PIPELINE_E2E_SQL)
+def pipeline_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-resume aggregation path (S1/R2 at 10^12 rows): the
+    routed relation is aggregated into per-bucket lossless rt-HISTOGRAM
+    partials (operators.aggregate.minute_agg_hist_partials), then the
+    partials are folded back (frequency-weighted exact percentile) — and the
+    result must match the SAME closed-form oracle as the single-pass
+    flagship. Proves a resumed run can aggregate only its new buckets and
+    merge, with zero drift (exact quantiles included)."""
+    from abs_log_spark.operators.aggregate import (
+        merge_minute_agg_hist_partials,
+        minute_agg_hist_partials,
+    )
+
+    merged = merge_minute_agg_hist_partials(
+        minute_agg_hist_partials(_routed(spark, sf_dir))
+    )
+    return merged.select(
+        "sink",
+        "site",
+        "minute",
+        "uri_abs",
+        "pv",
+        "bytes_sum",
+        F.round("rt_sum", 6).alias("rt_sum"),
+        F.round("rt_avg", 6).alias("rt_avg"),
+        F.round("rt_min", 6).alias("rt_min"),
+        F.round("rt_p25", 6).alias("rt_p25"),
+        F.round("rt_p50", 6).alias("rt_p50"),
+        F.round("rt_p75", 6).alias("rt_p75"),
+        F.round("rt_max", 6).alias("rt_max"),
+        "err_hits",
+        "invalid_hits",
+    )
+
+
 _TOPN_SQL = f"""
 {_PIPE_FIELDS_CTE}
 , agg AS (

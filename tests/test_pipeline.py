@@ -142,6 +142,139 @@ def test_pipeline_partial_resume(spark, tmp_catalog):
     assert total == N
 
 
+def test_hist_partials_merge_equals_exact_minute_agg(spark):
+    """The incremental-resume primitive: per-bucket histogram partials folded
+    back together must equal the exact single-pass aggregate on EVERY column
+    (including exact quantiles and the invalid-row null-key group)."""
+    import math
+
+    from abs_log_spark.operators.aggregate import (
+        merge_minute_agg_hist_partials,
+        minute_agg_hist_partials,
+    )
+
+    seq = gen_sequences(spark, N, invalid_every=10)
+    dim = gen_sources_dim(spark)
+    routed = transform(seq, dim)
+
+    merged = merge_minute_agg_hist_partials(minute_agg_hist_partials(routed))
+    full = minute_agg(routed, exact_quantiles=True)
+
+    cols = full.columns
+    def keyed(df):
+        return {
+            tuple(str(r[k]) for k in ("sink", "site", "minute", "uri_abs")): r
+            for r in df.collect()
+        }
+
+    got, want = keyed(merged), keyed(full)
+    assert set(got) == set(want) and len(want) > 0
+    for k, w in want.items():
+        g = got[k]
+        for c in cols[4:]:
+            gv, wv = g[c], w[c]
+            if gv is None and wv is None:
+                continue
+            assert math.isclose(gv, wv, rel_tol=1e-9, abs_tol=1e-12), (k, c, gv, wv)
+
+
+def test_incremental_agg_on_resume(spark, tmp_catalog, tmp_path):
+    """A resumed run's summary aggregation reads ONLY the new buckets (the
+    increment), yet the final summaries equal a full recompute."""
+    from abs_log_spark.catalog import Catalog
+
+    seq = gen_sequences(spark, N, invalid_every=10)
+    dim = gen_sources_dim(spark)
+    half = seq.where(F.col("part_bucket") < 4)
+    run_pipeline(spark, tmp_catalog, half, dim, run_id="r1")
+    r2 = run_pipeline(spark, tmp_catalog, seq, dim, run_id="r2")
+    assert r2["buckets_processed"] == 4
+
+    # (a) the resumed run's aggregate input is the increment, not the history
+    n_increment = seq.where(F.col("part_bucket") >= 4).count()
+    assert 0 < n_increment < N
+    assert r2["rows_agg_input"] == n_increment
+
+    # (b) the scan that feeds the partials is partition-pruned to the new
+    # buckets (the isin predicate lands in PartitionFilters)
+    import contextlib
+    import io
+
+    pruned = tmp_catalog.read(spark, "routed_sink_a").where(
+        F.col("part_bucket").isin([4, 5, 6, 7])
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "part_bucket" in plan.split("PartitionFilters", 1)[1][:200]
+
+    # (c) summaries identical to a from-scratch full recompute
+    full_cat = Catalog(root=str(tmp_path / "wh_full"))
+    run_pipeline(spark, full_cat, seq, dim, run_id="full",
+                 cfg=PipelineConfig(resume=False, incremental_agg=False,
+                                    exact_quantiles=True))
+    for s in ("sink_a", "sink_b", "sink_c"):
+        if not tmp_catalog.exists(f"minute_agg_{s}"):
+            assert not full_cat.exists(f"minute_agg_{s}")
+            continue
+        inc_rows = sorted(
+            (str(r["minute"]), str(r["uri_abs"]), r["pv"], r["bytes_sum"],
+             round(r["rt_sum"] or 0, 6), round(r["rt_p50"] or 0, 6), r["err_hits"],
+             r["invalid_hits"])
+            for r in tmp_catalog.read(spark, f"minute_agg_{s}").collect()
+        )
+        full_rows = sorted(
+            (str(r["minute"]), str(r["uri_abs"]), r["pv"], r["bytes_sum"],
+             round(r["rt_sum"] or 0, 6), round(r["rt_p50"] or 0, 6), r["err_hits"],
+             r["invalid_hits"])
+            for r in full_cat.read(spark, f"minute_agg_{s}").collect()
+        )
+        assert inc_rows == full_rows and len(inc_rows) > 0
+        # error summaries merge too
+        if tmp_catalog.exists(f"errors_{s}"):
+            inc_err = sorted(
+                (str(r["minute"]), r["status"], r["hits"])
+                for r in tmp_catalog.read(spark, f"errors_{s}").collect()
+            )
+            full_err = sorted(
+                (str(r["minute"]), r["status"], r["hits"])
+                for r in full_cat.read(spark, f"errors_{s}").collect()
+            )
+            assert inc_err == full_err
+
+
+def test_incremental_agg_bucket_rerun_idempotent(spark, tmp_catalog):
+    """Re-running an already-aggregated bucket (crash between routed promote
+    and checkpoint mark) replaces its partials instead of double-counting."""
+    from abs_log_spark.plans import checkpoint as ckpt
+
+    seq = gen_sequences(spark, N)
+    dim = gen_sources_dim(spark)
+    run_pipeline(spark, tmp_catalog, seq, dim, run_id="r1")
+    pv1 = {
+        s: tmp_catalog.read(spark, f"minute_agg_{s}").agg(F.sum("pv")).collect()[0][0]
+        for s in ("sink_a", "sink_b", "sink_c")
+        if tmp_catalog.exists(f"minute_agg_{s}")
+    }
+    # simulate the crash: bucket 3's checkpoint row never landed
+    ck = tmp_catalog.read(spark, "checkpoint").where("partition_key <> '3'")
+    pdf = ck.toPandas()
+    tmp_catalog.drop("checkpoint")
+    spark.createDataFrame(pdf).write.parquet(tmp_catalog.path("checkpoint"))
+    assert ckpt.completed_partitions(spark, tmp_catalog, "routed") == {
+        "0", "1", "2", "4", "5", "6", "7"
+    }
+
+    r2 = run_pipeline(spark, tmp_catalog, seq, dim, run_id="r2")
+    assert r2["buckets_processed"] == 1
+    for s, v in pv1.items():
+        assert (
+            tmp_catalog.read(spark, f"minute_agg_{s}").agg(F.sum("pv")).collect()[0][0]
+            == v
+        ), s
+
+
 def test_aligned_mode_matches_unaligned(spark, tmp_path):
     """input_aligned (shuffle-free routing over layout-clustered input) must
     produce identical routed counts and minute aggregates to the default
