@@ -7,8 +7,8 @@ Four families, all DataFrame-native:
 - MinHash + LSH: shingle -> K minhash columns -> band buckets -> bucket
   self-join for candidates -> exact-Jaccard verify. The scale path: never
   materializes all pairs, only per-bucket pairs.
-- SimHash: 32-bit signature from word unigrams; chunk-LSH (4 x 8-bit) for
-  candidates; Hamming-distance verify.
+- SimHash: 64-bit signature from word 3-gram shingles (computed in-row);
+  chunk-LSH (4 x 16-bit) for candidates; Hamming-distance verify.
 - n-gram Jaccard: the exact verifier used standalone on a candidate set.
 
 Embedding near-dup lives in operators/ann.py (cosine path).
@@ -68,23 +68,45 @@ def minhash_lsh_pairs(
 
 
 def simhash_pairs(
-    df: DataFrame, text_col: str = "text", max_hamming: int = 6
+    df: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 12,
+    chunk_bits: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs via SimHash chunk-LSH (any equal 8-bit chunk at the
-    same position -> candidate), verified by Hamming distance."""
+    """Near-dup pairs via SimHash chunk-LSH (any equal ``chunk_bits``-wide
+    chunk at the same position -> candidate), verified by Hamming distance.
+
+    64-bit shingle signatures in 4 chunks of 16 (default): each chunk
+    position has 65536 buckets, so random docs almost never collide —
+    candidate volume is driven by real similarity, not signature-space
+    crowding (the 32-bit/8-bit-chunk round-1 setting produced 168,110
+    candidates on 1k sf0.01 docs; this setting produces 385 verified pairs).
+
+    ``chunk_bits`` is the recall/cost dial: pairs with hamming < n_chunks
+    are GUARANTEED candidates (pigeonhole); narrower chunks raise that
+    guarantee but multiply bucket occupancy (64/8 -> 256 buckets/position:
+    expect N^2/256 random candidate pairs — pair that setting with
+    candidate_pairs' max_bucket_size guard at scale).
+    """
+    from abs_log_spark.functions.similarity import SIMHASH_BITS, SIMHASH_CHUNK_BITS
+
+    chunk_bits = chunk_bits or SIMHASH_CHUNK_BITS
     sig = simhash_signature(df, text_col)
     # chunk-LSH reuses the banded candidate machinery: band = chunk index,
-    # bucket = the 8-bit substring (one groupBy + in-row pairing, see
+    # bucket = the chunk substring (one groupBy + in-row pairing, see
     # similarity.candidate_pairs)
+    n_chunks = SIMHASH_BITS // chunk_bits
     chunks = sig.select(
         "doc_id",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(c).alias("band"),
-                    F.substring("simhash", c * 8 + 1, 8).alias("bucket"),
+                    F.substring(
+                        "simhash", c * chunk_bits + 1, chunk_bits
+                    ).alias("bucket"),
                 )
-                for c in range(4)
+                for c in range(n_chunks)
             ])
         ).alias("cb"),
     ).select("doc_id", "cb.band", "cb.bucket")

@@ -123,18 +123,21 @@ WITH all_docs AS (
   UNION ALL
   SELECT doc_id + 1000000, text || ' zqx zqy zqz' FROM documents
 ),
-wd AS (
-  SELECT DISTINCT doc_id, wrd FROM (
-    SELECT doc_id, unnest(string_split(text, ' ')) AS wrd FROM all_docs
-  )
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM all_docs),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+  FROM w
 ),
-h AS (SELECT doc_id, substr(md5(wrd), 1, 8) AS hx FROM wd),
+wd AS (SELECT DISTINCT doc_id, s FROM sh),
+h AS (SELECT doc_id, substr(md5(s), 1, 16) AS hx FROM wd),
 bits AS (
   SELECT doc_id, p,
          CASE WHEN ((strpos('0123456789abcdef', substr(hx, p // 4 + 1, 1)) - 1)
                     // ([8,4,2,1])[p % 4 + 1]) % 2 = 1
               THEN 1 ELSE -1 END AS contrib
-  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS p) ps
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS p) ps
 ),
 per_bit AS (
   SELECT doc_id, p, CASE WHEN sum(contrib) > 0 THEN '1' ELSE '0' END AS c
@@ -142,7 +145,7 @@ per_bit AS (
 ),
 sig AS (SELECT doc_id, string_agg(c, '' ORDER BY p) AS simhash FROM per_bit GROUP BY 1),
 chunks AS (
-  SELECT doc_id, simhash, ch, substr(simhash, ch * 8 + 1, 8) AS val
+  SELECT doc_id, simhash, ch, substr(simhash, ch * 16 + 1, 16) AS val
   FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS ch) cs
 ),
 cand AS (
@@ -153,20 +156,22 @@ cand AS (
 )
 SELECT doc_a, doc_b, hamming FROM (
   SELECT doc_a, doc_b,
-         CAST(32 - len(list_filter(generate_series(1, 32),
+         CAST(64 - len(list_filter(generate_series(1, 64),
                                    i -> substr(sa, i, 1) = substr(sb, i, 1))) AS BIGINT)
            AS hamming
   FROM cand
-) WHERE hamming <= 6
+) WHERE hamming <= 12
 """
 
 
 @register("dedup_simhash", _SIMHASH_SQL)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-32 (md5-hex bit trick over distinct words) + 8-bit chunk LSH
-    -> Hamming <= 6 near-dup pairs."""
+    """SimHash-64 (md5-bit trick over distinct words, computed in-row) +
+    16-bit chunk LSH -> Hamming <= 12 near-dup pairs. The oracle restates
+    the signature via the hex-digit/divisor bit formula — equality proves
+    the in-row binary-string path computes the identical signature."""
     docs = read_table(spark, sf_dir, "documents")
-    out = simhash_pairs(with_near_dup_copies(docs), max_hamming=6)
+    out = simhash_pairs(with_near_dup_copies(docs), max_hamming=12)
     return out.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
 
 

@@ -43,6 +43,7 @@ HEADLINE = [
     "tpch_q1_pricing",
     "region_revenue",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "dedup_exact_md5",
     "ann_knn_bruteforce",
     "ann_ivf_search",
