@@ -66,19 +66,44 @@ def band_buckets(sig: DataFrame, seeds: int = MINHASH_SEEDS, band_size: int = BA
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
-def candidate_pairs(buckets: DataFrame) -> DataFrame:
+def oversized_buckets(buckets: DataFrame, max_bucket_size: int) -> DataFrame:
+    """(band, bucket, n_members) of buckets exceeding the pair-expansion cap.
+
+    The guard's metric surface: callers count/log these so a capped run is
+    never a silent truncation. The count aggregate combines map-side, so
+    only (band, bucket, partial_count) rows ever shuffle — the doc ids
+    don't move for the size check.
+    """
+    return (
+        buckets.groupBy("band", "bucket")
+        .agg(F.count("*").alias("n_members"))
+        .where(F.col("n_members") > max_bucket_size)
+    )
+
+
+def candidate_pairs(buckets: DataFrame, max_bucket_size: int | None = None) -> DataFrame:
     """Pairs of docs sharing a (band, bucket); dedup'd across bands.
 
-    ONE shuffle: groupBy the bucket key, sorted member list, in-row pair
-    expansion (ordered combinations via indexed transform + slice). The
-    self-join formulation shuffles the bucket relation twice and the pair
-    set a third time for DISTINCT; this moves it once (plus the tiny pair
-    dedup). A pathological bucket (giant boilerplate dup cluster) is
-    quadratic in EITHER formulation — that's inherent to LSH candidates —
-    but here it also builds the pair array in one row: if a corpus has
-    million-doc exact-dup clusters, run dedup_exact first (the standard
-    curation order).
+    ONE shuffle of the doc ids: groupBy the bucket key, sorted member list,
+    in-row pair expansion (ordered combinations via indexed transform +
+    slice). The self-join formulation shuffles the bucket relation twice and
+    the pair set a third time for DISTINCT; this moves it once (plus the
+    tiny pair dedup).
+
+    A pathological bucket (giant boilerplate dup cluster) is quadratic in
+    EITHER formulation — inherent to LSH candidates — and here it also
+    builds the pair array in one row. ``max_bucket_size`` is the guard: a
+    cheap count pre-pass (map-side combine; see :func:`oversized_buckets`)
+    finds oversized buckets, which are removed with a BROADCAST anti-join
+    (the oversized set is tiny by definition) before any member list or
+    pair is materialized — bounded memory even against a million-doc
+    exact-dup cluster. Callers MUST surface ``oversized_buckets`` counts so
+    the cap is never silent; running dedup_exact first remains the standard
+    curation order that keeps the guard from triggering at all.
     """
+    if max_bucket_size is not None:
+        bad = oversized_buckets(buckets, max_bucket_size).select("band", "bucket")
+        buckets = buckets.join(F.broadcast(bad), ["band", "bucket"], "left_anti")
     grp = (
         buckets.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))

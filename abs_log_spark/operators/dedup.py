@@ -46,6 +46,8 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def minhash_lsh_pairs(
     df: DataFrame, text_col: str = "text", min_jaccard: float = 0.5,
     materialize_shingles: bool = True,
+    max_bucket_size: int | None = None,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified by exact Jaccard.
     Returns (doc_a, doc_b, jaccard) with jaccard >= min_jaccard.
@@ -57,12 +59,24 @@ def minhash_lsh_pairs(
     measured 5x slower at 1.2M docs. Here: persist (memory+disk). At
     petabyte scale: write the (doc_id, shingles/signature) relation to a
     table once and join against it — same plan shape, storage-backed.
+
+    Persist lifecycle: the result is lazy, so this function cannot know when
+    the cached shingle relation is safe to release. Pass ``persisted_out``
+    (a list) to receive the persisted DataFrame and ``unpersist()`` it once
+    the returned pairs are materialized; otherwise the cache lives until the
+    session ends (fine for one-shot jobs, a leak in long-lived sessions).
+
+    ``max_bucket_size`` guards the candidate pair expansion against
+    mega-buckets (giant dup clusters); surface ``oversized_buckets`` counts
+    when you set it — never cap silently.
     """
     docs_sh = df.select("doc_id", shingles_col(F.col(text_col)).alias("sh"))
     if materialize_shingles:
         docs_sh = docs_sh.persist()
+        if persisted_out is not None:
+            persisted_out.append(docs_sh)
     sig = minhash_signature_arr(docs_sh)
-    cand = candidate_pairs(band_buckets(sig))
+    cand = candidate_pairs(band_buckets(sig), max_bucket_size)
     jac = jaccard_from_arrays(cand, docs_sh)
     return jac.where(F.col("jaccard") >= min_jaccard)
 

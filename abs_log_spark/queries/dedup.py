@@ -175,6 +175,86 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+#: Adversarial fixture: a 200-copy exact-dup cluster of the first doc's text.
+#: Every copy shares all shingles -> identical minhash signature -> one
+#: mega-bucket per band. The guard must find and skip exactly those buckets.
+_SKEW_GUARD_SQL = """
+WITH all_docs AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT 2000000 + gs.i, d.text
+  FROM (SELECT unnest(generate_series(0, 199)) AS i) gs
+  CROSS JOIN (SELECT text FROM documents ORDER BY doc_id LIMIT 1) d
+),
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM all_docs),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
+  FROM w
+),
+hs AS (SELECT doc_id, s, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
+sig AS (
+  SELECT doc_id,
+         min((h * 1000003 + 17) % 4294967311)    AS h0,
+         min((h * 1000033 + 1729) % 4294967311)  AS h1,
+         min((h * 1000037 + 20011) % 4294967311) AS h2,
+         min((h * 1000039 + 21001) % 4294967311) AS h3,
+         min((h * 1000081 + 22003) % 4294967311) AS h4,
+         min((h * 1000099 + 23003) % 4294967311) AS h5,
+         min((h * 1000117 + 24001) % 4294967311) AS h6,
+         min((h * 1000121 + 94261) % 4294967311) AS h7
+  FROM hs GROUP BY 1
+),
+bb AS (
+  SELECT doc_id, 0 AS band, md5(h0::VARCHAR || ',' || h1::VARCHAR) AS bucket FROM sig
+  UNION ALL SELECT doc_id, 1, md5(h2::VARCHAR || ',' || h3::VARCHAR) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(h4::VARCHAR || ',' || h5::VARCHAR) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(h6::VARCHAR || ',' || h7::VARCHAR) FROM sig
+),
+big AS (
+  SELECT band, bucket, count(*) AS n FROM bb GROUP BY 1, 2 HAVING count(*) > 50
+)
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(n) AS BIGINT) AS n_members
+FROM big GROUP BY 1
+"""
+
+
+@register("dedup_lsh_skew_guard", _SKEW_GUARD_SQL)
+def dedup_lsh_skew_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mega-bucket guard's metric surface (no silent caps): inject a
+    200-copy exact-dup cluster, then report per band how many LSH buckets
+    exceed the pair-expansion cap and how many docs they hold — exactly what
+    candidate_pairs(max_bucket_size=...) skips via its broadcast anti-join.
+    The oracle recomputes the same signatures/buckets and must agree on the
+    skip set."""
+    from abs_log_spark.functions.similarity import (
+        band_buckets,
+        minhash_signature_arr,
+        oversized_buckets,
+        shingles_col,
+    )
+
+    base = read_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    seed = base.orderBy("doc_id").limit(1).select("text")
+    mega = (
+        spark.range(200)
+        .select((F.col("id") + 2_000_000).alias("doc_id"))
+        .crossJoin(F.broadcast(seed))
+    )
+    all_docs = base.unionByName(mega.select("doc_id", "text"))
+    docs_sh = all_docs.select("doc_id", shingles_col(F.col("text")).alias("sh"))
+    bb = band_buckets(minhash_signature_arr(docs_sh))
+    return oversized_buckets(bb, 50).groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("n_members").cast("long").alias("n_members"),
+    )
+
+
 _NGRAM_SQL = (
     _MINHASH_CTES
     + """

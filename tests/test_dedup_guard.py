@@ -1,0 +1,80 @@
+"""Mega-bucket guard: candidate pair expansion stays bounded against
+adversarial dup clusters, and the skip set is surfaced (never silent)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from abs_log_spark.functions.similarity import candidate_pairs, oversized_buckets
+from abs_log_spark.operators.dedup import minhash_lsh_pairs
+
+
+def _buckets(spark, mega_members: int, normal: int = 6):
+    """band-bucket rows: one adversarial bucket with `mega_members` docs +
+    one healthy bucket with `normal` docs."""
+    mega = spark.range(mega_members).select(
+        F.lit(0).alias("band"),
+        F.lit("hot").alias("bucket"),
+        F.concat(F.lit("m"), F.col("id")).alias("doc_id"),
+    )
+    ok = spark.range(normal).select(
+        F.lit(1).alias("band"),
+        F.lit("ok").alias("bucket"),
+        F.concat(F.lit("n"), F.col("id")).alias("doc_id"),
+    )
+    return mega.unionByName(ok)
+
+
+def test_candidate_pairs_capped_skips_mega_bucket(spark):
+    """A 10k-member bucket would expand to ~50M pairs in one row; with the
+    cap it is anti-joined away BEFORE any member list is built, and only the
+    healthy bucket's pairs come out."""
+    b = _buckets(spark, mega_members=10_000, normal=6)
+    pairs = candidate_pairs(b, max_bucket_size=100).collect()
+    assert len(pairs) == 6 * 5 // 2
+    assert all(r.doc_a.startswith("n") for r in pairs)
+
+    skipped = oversized_buckets(b, 100).collect()
+    assert len(skipped) == 1
+    assert skipped[0].n_members == 10_000
+
+
+def test_candidate_pairs_uncapped_unchanged(spark):
+    """Without a cap the expansion math is untouched (n choose 2)."""
+    b = _buckets(spark, mega_members=50, normal=4)
+    n = candidate_pairs(b).count()
+    assert n == 50 * 49 // 2 + 4 * 3 // 2
+
+
+def test_minhash_cap_plumbs_through(spark):
+    """minhash_lsh_pairs with a cap drops an exact-dup mega-cluster's pairs
+    but keeps genuine near-dup pairs; persisted_out hands back the cache."""
+    docs = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha bravo charlie delta echo foxtrot golf hotel item"),
+            F.lit(" word"), F.col("id"),
+        ).alias("text"),
+    )
+    # 40 exact copies of one text -> one mega bucket per band
+    mega = spark.range(40).select(
+        (F.col("id") + 1000).alias("doc_id"),
+        F.lit("zulu yankee xray whiskey victor uniform tango sierra").alias("text"),
+    )
+    alld = docs.unionByName(mega)
+    # uncapped: the mega cluster floods the output with jaccard-1.0 pairs
+    uncapped = minhash_lsh_pairs(alld, min_jaccard=0.5).collect()
+    mega_pairs = [r for r in uncapped if r.doc_a >= 1000]
+    assert len(mega_pairs) == 40 * 39 // 2
+
+    handle: list = []
+    capped = minhash_lsh_pairs(
+        alld, min_jaccard=0.5, max_bucket_size=35, persisted_out=handle
+    ).collect()
+    # the mega cluster is capped away; every other pair is untouched
+    assert all(r.doc_a < 1000 and r.doc_b < 1000 for r in capped)
+    assert sorted(map(tuple, capped)) == sorted(
+        tuple(r) for r in uncapped if r.doc_a < 1000
+    )
+    assert len(handle) == 1
+    handle[0].unpersist()
