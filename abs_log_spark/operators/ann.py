@@ -94,17 +94,36 @@ def hyperplane_sign_expr(embedding, plane: int, dim: int = 64):
     return F.when(proj > 0, F.lit("1")).otherwise(F.lit("0"))
 
 
-def lsh_bucket_col(embedding, planes: int = 4):
+def _guard_dim(embedding, expr, dim: int):
+    """Fail LOUDLY on an embedding whose length differs from the scheme's
+    ``dim``: the +-1 weight vectors are length-``dim`` constants, and
+    zip_with silently null-pads a shorter side — without this guard a dim
+    mismatch collapses every sign to '0' / every score to NULL instead of
+    erroring."""
+    return F.when(F.size(embedding) == dim, expr).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"embedding dimension != {dim}: got "),
+                F.size(embedding).cast("string"),
+            )
+        )
+    )
+
+
+def lsh_bucket_col(embedding, planes: int = 4, dim: int = 64):
     """Concatenated hyperplane signs -> 2^planes buckets."""
-    return F.concat(*[hyperplane_sign_expr(embedding, p) for p in range(planes)])
+    bucket = F.concat(*[hyperplane_sign_expr(embedding, p, dim) for p in range(planes)])
+    return _guard_dim(embedding, bucket, dim)
 
 
-def lsh_bucket_knn(emb: DataFrame, queries: DataFrame, k: int = 5, planes: int = 4) -> DataFrame:
+def lsh_bucket_knn(
+    emb: DataFrame, queries: DataFrame, k: int = 5, planes: int = 4, dim: int = 64
+) -> DataFrame:
     """ANN: search only vectors in the query's LSH bucket. Trades recall for
     a 2^planes candidate reduction; at 100 TB the bucket id becomes the
     table's partition key so a query touches one partition."""
-    e = emb.withColumn("bucket", lsh_bucket_col(F.col("embedding"), planes))
-    q = queries.withColumn("bucket", lsh_bucket_col(F.col("q_embedding"), planes))
+    e = emb.withColumn("bucket", lsh_bucket_col(F.col("embedding"), planes, dim))
+    q = queries.withColumn("bucket", lsh_bucket_col(F.col("q_embedding"), planes, dim))
     joined = e.join(F.broadcast(q), "bucket").where(F.col("vec_id") != F.col("q_id"))
     scored = joined.select(
         "q_id",
@@ -132,6 +151,7 @@ def ivf_probe_knn(
     k: int = 5,
     n_lists: int = 16,
     nprobe: int = 4,
+    dim: int = 64,
 ) -> DataFrame:
     """IVF search: corpus vectors live in their argmax-centroid list; a query
     probes its ``nprobe`` best lists and scores only those vectors — the
@@ -139,11 +159,11 @@ def ivf_probe_knn(
     training. At 100 TB ``ivf_list`` is the table partition key, so a query
     scans nprobe/n_lists of the data; the query side is tiny and broadcast.
     """
-    e = centroid_ivf_assign(emb, n_lists)
+    e = centroid_ivf_assign(emb, n_lists, dim)
     scores = F.array(
         *[
             F.struct(
-                centroid_dot_expr(F.col("q_embedding"), l).alias("s"),
+                centroid_dot_expr(F.col("q_embedding"), l, dim).alias("s"),
                 F.lit(l).alias("l"),
             )
             for l in range(n_lists)
@@ -152,7 +172,12 @@ def ivf_probe_knn(
     # sort_array desc on struct(s, l): ties break by l DESC (mirrored in SQL)
     probes = F.slice(F.sort_array(scores, asc=False), 1, nprobe)
     q = queries.withColumn(
-        "ivf_list", F.explode(F.transform(probes, lambda x: x["l"]))
+        "ivf_list",
+        F.explode(
+            _guard_dim(
+                F.col("q_embedding"), F.transform(probes, lambda x: x["l"]), dim
+            )
+        ),
     )
     joined = e.join(F.broadcast(q), "ivf_list").where(F.col("vec_id") != F.col("q_id"))
     scored = joined.select(
@@ -168,13 +193,17 @@ def ivf_probe_knn(
     )
 
 
-def centroid_ivf_assign(emb: DataFrame, n_lists: int = 16) -> DataFrame:
+def centroid_ivf_assign(emb: DataFrame, n_lists: int = 16, dim: int = 64) -> DataFrame:
     """IVF-style list assignment with deterministic 'centroids': list id =
     argmax over n_lists of dot(embedding, pseudo-centroid(l)) where the
     pseudo-centroid is the +-1 hyperplane of md5('ivf<l>|<d>'). Stands in
     for k-means centroids (which need training); the routing/plumbing —
     assign, partition by list, probe nearest lists — is the real shape."""
-    scores = F.array(*[centroid_dot_expr(F.col("embedding"), l) for l in range(n_lists)])
+    scores = F.array(
+        *[centroid_dot_expr(F.col("embedding"), l, dim) for l in range(n_lists)]
+    )
     # first max wins ties (lowest l) — matches the oracle's ORDER BY s DESC, l
     best = F.array_position(scores, F.array_max(scores)) - 1
-    return emb.withColumn("ivf_list", best.cast("int"))
+    return emb.withColumn(
+        "ivf_list", _guard_dim(F.col("embedding"), best.cast("int"), dim)
+    )

@@ -39,12 +39,31 @@ def completed_partitions(spark: SparkSession, cat: Catalog, stage: str) -> set[s
     return {r.partition_key for r in rows}
 
 
+#: above this many completed buckets, the NOT-isin predicate (a linear chain
+#: the optimizer evaluates per row and cannot index) gives way to a broadcast
+#: anti-join against the done-set — O(1) hash probe per row, and the tiny
+#: done relation ships once per executor.
+ISIN_MAX_KEYS = 64
+
+
 def filter_pending(df: DataFrame, done: set[str], key_col: str = "part_bucket") -> DataFrame:
     """Drop already-completed partitions. With a disk layout partitioned by
-    ``key_col`` this predicate becomes partition pruning at the scan."""
+    ``key_col`` the small-set predicate becomes partition pruning at the
+    scan; a long-history done-set (thousands of buckets) switches to a
+    broadcast left_anti join instead of a thousands-deep isin chain."""
     if not done:
         return df
-    return df.where(~F.col(key_col).cast("string").isin(*sorted(done)))
+    if len(done) <= ISIN_MAX_KEYS:
+        return df.where(~F.col(key_col).cast("string").isin(*sorted(done)))
+    spark = df.sparkSession
+    done_df = spark.createDataFrame(
+        [(k,) for k in sorted(done)], "_done_key string"
+    )
+    return df.join(
+        F.broadcast(done_df),
+        F.col(key_col).cast("string") == F.col("_done_key"),
+        "left_anti",
+    )
 
 
 def mark_done(

@@ -50,8 +50,19 @@ def sequences_from_documents(
     the fixture rendering (line format + tokenize) instead of a scan.
     """
     if materialized:
+        # cache key = abs path + source-parquet mtime: distinct sf dirs with
+        # the same basename cannot alias, and a regenerated documents fixture
+        # invalidates the cache instead of serving stale sequences forever
+        import hashlib
+
+        src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+        try:
+            mtime = str(int(os.path.getmtime(src)))
+        except OSError:
+            mtime = "0"
         label = os.path.basename(sf_dir.rstrip("/"))
-        cache = f"/tmp/abslog_sequences_{label}"
+        key = hashlib.md5(f"{src}|{mtime}".encode()).hexdigest()[:10]
+        cache = f"/tmp/abslog_sequences_{label}_{key}"
         if not os.path.exists(os.path.join(cache, "_SUCCESS")):
             sequences_from_documents(spark, sf_dir, materialized=False).write.mode(
                 "overwrite"

@@ -76,10 +76,17 @@ def streaming_minute_agg(
 
     Reuses the batch ``transform`` (Arrow parse + abstraction + broadcast
     enrich) — stateless stages apply to streaming DataFrames unchanged. Only
-    valid rows enter the windowed state (invalid rows have no event time);
-    track invalid counts on the foreachBatch path or via ``observe``.
+    valid rows enter the windowed state (invalid rows have no event time),
+    but they are NEVER silently dropped: a named ``observe`` on the
+    pre-filter stream counts them per micro-batch (surfaced in every
+    StreamingQueryProgress under observedMetrics['routed_rows'] — the
+    streaming twin of the batch invalid_hits accounting, zero extra pass).
     """
-    routed = transform(seq_stream, dim, cfg)
+    routed = transform(seq_stream, dim, cfg).observe(
+        "routed_rows",
+        F.count(F.lit(1)).alias("rows_routed"),
+        F.sum(F.when(~F.col("valid"), 1).otherwise(0)).alias("rows_invalid"),
+    )
     return (
         routed.where(F.col("valid"))
         .withWatermark("ts", watermark)

@@ -165,6 +165,42 @@ def run_scaling(n_rows: int = SCALING_ROWS) -> dict:
                         "cores": list(SCALING_CORES)}}
 
 
+#: last `--scaling` measurement, checked in next to the code it measured.
+SCALING_FILE = os.path.join(REPO, "BENCH_SCALING.json")
+
+
+def _git_head() -> str:
+    try:
+        return subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        return "unknown"
+
+
+def save_scaling(result: dict) -> None:
+    blob = {
+        **result["scaling"],
+        "measured_at_commit": _git_head(),
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+    }
+    with open(SCALING_FILE, "w") as f:
+        json.dump(blob, f, indent=1)
+
+
+def load_scaling() -> dict:
+    """Last recorded N-vs-4N measurement, stamped with the commit it was
+    measured at; 'stale' flags a recording older than the current HEAD so a
+    recorded blob can't masquerade as fresh evidence."""
+    if not os.path.exists(SCALING_FILE):
+        return {"note": "no scaling recorded; run `python bench.py --scaling`"}
+    with open(SCALING_FILE) as f:
+        blob = json.load(f)
+    blob["stale"] = blob.get("measured_at_commit") != _git_head()
+    return blob
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true", help="also run the local[N] vs local[4N] scaling evidence")
@@ -194,18 +230,16 @@ def main() -> int:
     spark.stop()
 
     if args.scaling:
-        extras.update(run_scaling())
+        sc = run_scaling()
+        save_scaling(sc)
+        extras.update(sc)
     else:
         # full N-vs-4N run is ~10 min (python bench.py --scaling); default
-        # output carries the last recorded result so BENCH json is
-        # self-contained. Methodology + raw walls: BASELINE.md.
-        extras["scaling_recorded"] = {
-            "note": "measured 2026-08-16 via `python bench.py --scaling`, see BASELINE.md",
-            "rows": 8_000_000,
-            "local4_rows_per_sec": 89482.5,
-            "local16_rows_per_sec": 339184.3,
-            "efficiency_n_to_4n": 0.948,
-        }
+        # output carries the last SAVED measurement (BENCH_SCALING.json,
+        # stamped with the commit it measured, flagged stale if HEAD moved)
+        # so BENCH json is self-contained without passing off old numbers
+        # as fresh. Methodology + raw walls: BASELINE.md.
+        extras["scaling_recorded"] = load_scaling()
 
     out = {
         "metric": "headline suite + synthetic pipeline wall time",

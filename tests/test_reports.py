@@ -21,6 +21,63 @@ def test_approx_count_distinct_close_to_exact(spark):
         assert abs(r["approx"] - r["exact"]) <= max(1, 0.05 * r["exact"]), r
 
 
+def test_log_show_ip_excludes_invalid_rows(spark):
+    """[PK] log_show ip counts PARSED hits per source; invalid lines have no
+    attributable request and must not inflate per-source hits."""
+    import sys, os  # noqa: E401
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from jobs.log_show import build_view
+
+    rows = [
+        ("src0", 100, True), ("src0", 100, True), ("src0", None, False),
+        ("src1", 50, True), ("src1", None, False), ("src1", None, False),
+    ]
+    df = spark.createDataFrame(rows, "source string, bytes long, valid boolean")
+    out = {r.source: (r.hits, r.bytes) for r in build_view(df, "ip").collect()}
+    assert out == {"src0": (2, 200), "src1": (1, 50)}
+
+
+def test_log_show_detail_filters_uri_and_invalid(spark):
+    import sys, os  # noqa: E401
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from jobs.log_show import build_view
+
+    rows = [
+        ("/search", "q=*", 10, 0.5, True),
+        ("/search", "q=*", 20, 0.5, True),
+        ("/search", "id=*", 30, 0.5, True),
+        ("/item/*", "q=*", 40, 0.5, True),
+        (None, None, None, None, False),
+    ]
+    df = spark.createDataFrame(
+        rows, "uri_abs string, args_abs string, bytes long, rt double, valid boolean"
+    )
+    out = build_view(df, "detail", uri="/search").collect()
+    got = {(r.uri_abs, r.args_abs): (r.hits, r.hits_pct) for r in out}
+    assert got == {("/search", "q=*"): (2, 66.6667), ("/search", "id=*"): (1, 33.3333)}
+
+
+def test_log_show_error_pivot_layout(spark):
+    import sys, os  # noqa: E401
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from jobs.log_show import build_view
+
+    rows = [
+        ("s", "2024-01-01 00:00:00", 404, 3),
+        ("s", "2024-01-01 00:00:00", 500, 1),
+        ("s", "2024-01-01 00:01:00", 404, 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "sink string, minute string, status int, hits long"
+    ).withColumn("minute", F.to_timestamp("minute"))
+    out = build_view(df, "error", pivot=True).collect()
+    assert [r["404"] for r in out] == [3, 2]
+    assert [r["500"] for r in out] == [1, 0]  # absent combo filled with 0
+
+
 def test_expire_summary(spark, tmp_catalog):
     """S5: rows older than the cutoff are deleted, newer rows survive."""
     df = spark.range(100).select(

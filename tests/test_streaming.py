@@ -59,6 +59,17 @@ def test_native_windowed_agg_equals_batch(spark, tmp_path, seq_input):
     want = _rows(batch, (KEYS, ["pv", "bytes_sum", "err_hits"]))
     assert got == want
 
+    # invalid rows never enter the windowed state but are accounted for via
+    # the named observe on every micro-batch progress (streaming twin of
+    # batch invalid_hits)
+    observed = [
+        p.observedMetrics["routed_rows"]
+        for p in q.recentProgress
+        if "routed_rows" in p.observedMetrics
+    ]
+    assert sum(m["rows_invalid"] for m in observed) == N // 100
+    assert sum(m["rows_routed"] for m in observed) == N
+
 
 def test_foreachbatch_partials_merge_to_batch_answer(spark, tmp_path, tmp_catalog, seq_input):
     """Micro-batched foreachBatch partials, merged, == single-pass batch agg
