@@ -554,6 +554,34 @@ def top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("user_id", "hits", "value_sum", "rank", "hits_pct")
 
 
+_SET_OPS_SQL = """
+WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+purchasers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+both_u AS (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM purchasers),
+click_only AS (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM purchasers)
+SELECT 'click_and_purchase' AS segment, CAST(count(*) AS BIGINT) AS n_users FROM both_u
+UNION ALL
+SELECT 'click_only', CAST(count(*) AS BIGINT) FROM click_only
+"""
+
+
+@register("set_ops_user_segments", _SET_OPS_SQL)
+def set_ops_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 (intersect/except): audience segmentation via set operators —
+    users who both clicked and purchased vs click-only. DataFrame
+    ``intersect``/``exceptAll`` on distinct keys == SQL INTERSECT/EXCEPT;
+    Catalyst plans both as (broadcastable) semi/anti hash joins, one
+    shuffle each on user_id."""
+    ev = read_table(spark, sf_dir, "events")
+    clickers = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    purchasers = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    both_u = clickers.intersect(purchasers).agg(F.count("*").alias("n_users"))
+    click_only = clickers.exceptAll(purchasers).agg(F.count("*").alias("n_users"))
+    return both_u.select(
+        F.lit("click_and_purchase").alias("segment"), "n_users"
+    ).unionByName(click_only.select(F.lit("click_only").alias("segment"), "n_users"))
+
+
 _DISTINCT_SQL = """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS pv,
