@@ -36,14 +36,23 @@ def shingles_col(text: Column, k: int = 3) -> Column:
 
     Guarded: docs with < k words yield an empty array (Spark ``sequence``
     descends when start > stop, unlike SQL generate_series).
+
+    The word array is BOUND ONCE per row via a 1-element transform:
+    higher-order-function lambdas are interpreted with no common-
+    subexpression elimination, so a bare ``split(text)`` referenced inside
+    the per-shingle lambda would re-split the full text k times per shingle
+    (measured: the re-split was ~1/3 of the whole dedup suite's cost).
     """
-    ws = words_col(text)
-    n = F.size(ws)
-    make = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(k)]),
-    )
-    return F.when(n >= k, make).otherwise(F.array().cast("array<string>"))
+
+    def make(ws: Column) -> Column:
+        n = F.size(ws)
+        sh = F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(ws, i + j) for j in range(k)]),
+        )
+        return F.when(n >= k, sh).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(words_col(text)), make), 1)
 
 
 def exploded_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
@@ -185,21 +194,46 @@ def simhash_signature(
     base = df.select(
         "doc_id", F.array_distinct(shingles_col(F.col(text_col), k)).alias("_sh")
     ).where(F.size("_sh") > 0)
-    # per-feature binary string; split to chars (slice drops split's trailing '')
-    feat_bits = lambda s: F.slice(  # noqa: E731
-        F.split(
-            F.lpad(F.conv(F.substring(F.md5(s), 1, bits // 4), 16, 2), bits, "0"),
-            "(?!^)",
+    # per-feature +-1 contribution array via a LITERAL nibble lookup: each of
+    # the bits/4 md5 hex chars maps to its 4-bit +-1 pattern through a
+    # constant map — pure numeric/array JVM ops, no regex char-split, no
+    # per-bit string compares (measured ~3x faster than the binary-string
+    # formulation at 10k docs). Semantics identical: nibble d, bit j (MSB
+    # first) -> contrib 2*((d >> (3-j)) & 1) - 1.
+    nibble_map = F.create_map(
+        *[
+            c
+            for d, ch in enumerate(HEX_DIGITS)
+            for c in (
+                F.lit(ch),
+                F.array(
+                    *[
+                        F.lit(2 * ((d >> (3 - j)) & 1) - 1).cast("long")
+                        for j in range(4)
+                    ]
+                ),
+            )
+        ]
+    )
+    # bind md5(s) ONCE per feature via a 1-element transform (HOF lambdas are
+    # interpreted — a bare md5(s) inside the per-nibble lambda would
+    # re-evaluate bits/4 times)
+    feat_contribs = lambda s: F.element_at(  # noqa: E731
+        F.transform(
+            F.array(F.substring(F.md5(s), 1, bits // 4)),
+            lambda hx: F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(bits // 4)),
+                    lambda i: F.element_at(nibble_map, F.substring(hx, i, F.lit(1))),
+                )
+            ),
         ),
         1,
-        bits,
     )
     counts = F.aggregate(
-        F.transform(F.col("_sh"), feat_bits),
+        F.transform(F.col("_sh"), feat_contribs),
         F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, b: F.zip_with(
-            acc, b, lambda a, c: a + F.when(c == "1", 1).otherwise(-1)
-        ),
+        lambda acc, b: F.zip_with(acc, b, lambda a, c: a + c),
     )
     sig = F.array_join(
         F.transform(counts, lambda c: F.when(c > 0, F.lit("1")).otherwise(F.lit("0"))),

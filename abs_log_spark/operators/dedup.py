@@ -86,6 +86,8 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 12,
     chunk_bits: int | None = None,
+    materialize_signatures: bool = True,
+    persisted_out: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs via SimHash chunk-LSH (any equal ``chunk_bits``-wide
     chunk at the same position -> candidate), verified by Hamming distance.
@@ -106,6 +108,15 @@ def simhash_pairs(
 
     chunk_bits = chunk_bits or SIMHASH_CHUNK_BITS
     sig = simhash_signature(df, text_col)
+    # sig feeds THREE consumers (chunk buckets, pair-side A, pair-side B);
+    # without materialization each branch recomputes every signature —
+    # measured 3x the whole-query cost at 10k docs. Same lifecycle contract
+    # as minhash_lsh_pairs: pass persisted_out to own the unpersist; at
+    # petabyte scale write the signature relation to a table instead.
+    if materialize_signatures:
+        sig = sig.persist()
+        if persisted_out is not None:
+            persisted_out.append(sig)
     # chunk-LSH reuses the banded candidate machinery: band = chunk index,
     # bucket = the chunk substring (one groupBy + in-row pairing, see
     # similarity.candidate_pairs)
