@@ -328,15 +328,17 @@ def jaccard_from_arrays(
     db = docs_sh.select(
         F.col("doc_id").alias("doc_b"), F.array_distinct(F.col(sh_col)).alias("_sb")
     )
-    ni = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    # bind the intersection size once (it appears in numerator AND union
+    # denominator; an unbound reference would intersect twice per pair)
+    jac = F.element_at(
+        F.transform(
+            F.array(F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))),
+            lambda ni: F.round(ni / (F.size("_sa") + F.size("_sb") - ni), 6),
+        ),
+        1,
+    )
     return (
         pairs.join(da, "doc_a")
         .join(db, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                ni / (F.size("_sa") + F.size("_sb") - ni), 6
-            ).alias("jaccard"),
-        )
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
     )

@@ -202,8 +202,18 @@ def centroid_ivf_assign(emb: DataFrame, n_lists: int = 16, dim: int = 64) -> Dat
     scores = F.array(
         *[centroid_dot_expr(F.col("embedding"), l, dim) for l in range(n_lists)]
     )
-    # first max wins ties (lowest l) — matches the oracle's ORDER BY s DESC, l
-    best = F.array_position(scores, F.array_max(scores)) - 1
+    # first max wins ties (lowest l) — matches the oracle's ORDER BY s DESC, l.
+    # scores is bound once via a 1-element transform: array_position +
+    # array_max would otherwise each evaluate all n_lists dot products.
+    best = (
+        F.element_at(
+            F.transform(
+                F.array(scores), lambda sc: F.array_position(sc, F.array_max(sc))
+            ),
+            1,
+        )
+        - 1
+    )
     return emb.withColumn(
         "ivf_list", _guard_dim(F.col("embedding"), best.cast("int"), dim)
     )
