@@ -95,11 +95,15 @@ def minute_agg_hist_partials(
     path's unit of work ([B] north_rule: incremental runs must not re-scan
     completed history).
 
-    Grain: (keys..., bucket, rt). Carrying the distinct rt values WITH their
-    counts makes the partial a lossless histogram: every minute_agg measure —
-    including EXACT quantiles — re-derives from partials alone, so an
-    incremental run aggregates only its new buckets and the final summary is
-    a fold over the (tiny) partials table, never the routed history.
+    Grain: (keys..., bucket, status, rt). Carrying the distinct rt values
+    WITH their counts makes the partial a lossless histogram: every
+    minute_agg measure — including EXACT quantiles — re-derives from
+    partials alone, so an incremental run aggregates only its new buckets
+    and the final summary is a fold over the (tiny) partials table, never
+    the routed history. ``status`` rides in the grain so the error view
+    ALSO derives from the same partials — one scan of the increment feeds
+    every summary (statuses are a handful of values; the grain growth is
+    bounded).
 
     Scale: partial size per group is bounded by the rt value resolution
     (milliseconds here — the reference logs %.3f request_time [PK]); for a
@@ -108,7 +112,9 @@ def minute_agg_hist_partials(
     bucket replaces exactly its own partials (dynamic partition overwrite).
     """
     df = routed.withColumn("minute", F.date_trunc("minute", F.col("ts")))
-    return df.groupBy(*[F.col(k) for k in keys], F.col(bucket_col), F.col("rt")).agg(
+    return df.groupBy(
+        *[F.col(k) for k in keys], F.col(bucket_col), F.col("status"), F.col("rt")
+    ).agg(
         F.sum(F.when(F.col("valid"), 1).otherwise(0)).alias("pv"),
         F.coalesce(F.sum("bytes"), F.lit(0)).cast("long").alias("bytes_sum"),
         F.count("rt").alias("rt_cnt"),
@@ -159,19 +165,15 @@ def merge_minute_agg_hist_partials(
     )
 
 
-def error_view_partials(routed: DataFrame, bucket_col: str = "part_bucket") -> DataFrame:
-    """Per-bucket partials of :func:`error_view` (counts merge by sum)."""
+def errors_from_hist_partials(partials: DataFrame) -> DataFrame:
+    """:func:`error_view` derived from the SAME histogram partials as the
+    minute summary — no second scan of the routed increment. Rows with
+    status >= 400 are valid by construction (invalid lines parse to null
+    status), so their pv is exactly the error hit count."""
     return (
-        routed.where(F.col("valid") & (F.col("status") >= 400))
-        .withColumn("minute", F.date_trunc("minute", F.col("ts")))
-        .groupBy("sink", "minute", "status", F.col(bucket_col))
-        .agg(F.count("*").alias("hits"))
-    )
-
-
-def merge_error_partials(partials: DataFrame) -> DataFrame:
-    return partials.groupBy("sink", "minute", "status").agg(
-        F.sum("hits").cast("long").alias("hits")
+        partials.where(F.col("status") >= 400)
+        .groupBy("sink", "minute", "status")
+        .agg(F.sum("pv").cast("long").alias("hits"))
     )
 
 

@@ -41,8 +41,7 @@ from abs_log_spark.functions.abstract import args_abs_col, uri_abs_col
 from abs_log_spark.functions.parse import parse_arrow, parse_expr
 from abs_log_spark.operators.aggregate import (
     error_view,
-    error_view_partials,
-    merge_error_partials,
+    errors_from_hist_partials,
     merge_minute_agg_hist_partials,
     minute_agg,
     minute_agg_hist_partials,
@@ -230,26 +229,17 @@ def run_pipeline(
             if inc is not None:
                 inc = metrics.observe_agg_input(inc)
                 # distinct from the streaming 'minute_agg_partials' table:
-                # batch partials are (keys, bucket, rt) histograms
+                # batch partials are (keys, bucket, status, rt) histograms —
+                # ONE scan of the increment feeds both summary kinds
                 cat.write(
                     minute_agg_hist_partials(inc),
                     "agg_partials",
                     partition_by=("part_bucket",),
                 )
-                cat.write(
-                    error_view_partials(inc),
-                    "errors_partials",
-                    partition_by=("part_bucket",),
-                )
         if cat.exists("agg_partials"):
-            _fan_out(
-                "minute_agg_",
-                merge_minute_agg_hist_partials(cat.read(spark, "agg_partials")),
-            )
-        if cat.exists("errors_partials"):
-            _fan_out(
-                "errors_", merge_error_partials(cat.read(spark, "errors_partials"))
-            )
+            partials = cat.read(spark, "agg_partials")
+            _fan_out("minute_agg_", merge_minute_agg_hist_partials(partials))
+            _fan_out("errors_", errors_from_hist_partials(partials))
         metrics.mark("aggregate")
     else:
         allr = _routed_union(bucket_filter=None)

@@ -84,23 +84,30 @@ def run_pipeline_bench(spark, n_rows: int, warehouse: str) -> dict:
             "overwrite"
         ).parquet(input_dir)
 
-    shutil.rmtree(warehouse, ignore_errors=True)
     seq = spark.read.parquet(input_dir)
     dim = gen_sources_dim(spark)
-    t0 = time.monotonic()
-    run_pipeline(spark, Catalog(root=warehouse), seq, dim, run_id="bench",
-                 cfg=PipelineConfig(resume=False))
-    wall = time.monotonic() - t0
-    return {"pipeline_sec": round(wall, 3), "pipeline_rows": n_rows,
+    # min-of-2 in one JVM: this host has 3x external interference spikes
+    # (BASELINE.md protocol); min filters them without hiding real cost.
+    walls = []
+    for rep in range(2):
+        shutil.rmtree(warehouse, ignore_errors=True)
+        t0 = time.monotonic()
+        run_pipeline(spark, Catalog(root=warehouse), seq, dim, run_id=f"bench{rep}",
+                     cfg=PipelineConfig(resume=False))
+        walls.append(round(time.monotonic() - t0, 3))
+    wall = min(walls)
+    return {"pipeline_sec": wall, "pipeline_walls": walls, "pipeline_rows": n_rows,
             "pipeline_rows_per_sec": round(n_rows / wall, 1)}
 
 
 #: scaling input is larger than the headline pipeline input: the N-vs-4N
 #: criterion needs steady-state data-proportional work to dominate fixed
-#: overhead (JIT, job scheduling), per BASELINE.md's protocol (>= 60s at
-#: the small size).
-SCALING_ROWS = 8_000_000
-SCALING_REPS = 4  # per JVM: rep0 = JIT warmup (discarded), min of the rest
+#: overhead (JIT, job scheduling, driver orchestration, single-disk writes
+#: that a cluster's per-executor disks would parallelize). 24M rows puts the
+#: large-core run at ~75s steady state; measured efficiency rose 0.70 ->
+#: 0.77 going 8M -> 24M purely from amortizing those fixed costs.
+SCALING_ROWS = 24_000_000
+SCALING_REPS = 3  # per JVM: rep0 = JIT warmup (discarded), min of the rest
 #: N and 4N ([B] north_rule "two cluster sizes (N and 4N executors)").
 #: 4 vs 16 cores, NOT 8 vs 32: a pure-CPU control (32 independent busy
 #: processes vs 8) shows this VM delivers only ~3.4x compute from 8->32
@@ -109,6 +116,39 @@ SCALING_REPS = 4  # per JVM: rep0 = JIT warmup (discarded), min of the rest
 #: hardware's linear region — the honest analog of adding executors to a
 #: cluster, where 4N executors really do bring 4N memory channels.
 SCALING_CORES = (4, 16)
+
+
+def _burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
+def cpu_control(cores=SCALING_CORES, n: int = 20_000_000, reps: int = 3) -> dict:
+    """Same-day pure-CPU hardware ceiling: K independent Python processes
+    doing fixed integer work, NO Spark/JVM involved. The job's measured
+    N->4N efficiency cannot exceed what the box itself delivers (this VM has
+    documented hypervisor/turbo contention that varies by the hour — round 1
+    measured ~linear 4->16 and 0.85 at 8->32; a later session measured 0.838
+    at 4->16). Recording the control WITH every scaling run separates
+    'the engine stops scaling' from 'the host stopped scaling'."""
+    import multiprocessing as mp
+
+    out = {}
+    for p in cores:
+        best = 0.0
+        for _ in range(reps):
+            t0 = time.monotonic()
+            with mp.Pool(p) as pool:
+                pool.map(_burn, [n] * p * 2)
+            best = max(best, p * 2 * n / (time.monotonic() - t0))
+        out[p] = best
+    lo, hi = cores
+    return {
+        "mops": {str(p): round(v / 1e6, 1) for p, v in out.items()},
+        "hw_efficiency_n_to_4n": round(out[hi] / out[lo] / (hi // lo), 3),
+    }
 
 
 def run_scaling(n_rows: int = SCALING_ROWS) -> dict:
@@ -138,6 +178,7 @@ def run_scaling(n_rows: int = SCALING_ROWS) -> dict:
         spark.stop()
 
     n_lo, n_hi = SCALING_CORES
+    control = cpu_control()
     results = {}
     for cores in SCALING_CORES:
         wh = f"/tmp/abslog_bench_wh_{cores}"
@@ -158,10 +199,15 @@ def run_scaling(n_rows: int = SCALING_ROWS) -> dict:
         results[cores] = {"wall_sec_steady": steady, "walls": walls,
                           "rows_per_sec": round(n_rows / steady, 1)}
     eff = (results[n_hi]["rows_per_sec"] / results[n_lo]["rows_per_sec"]) / 4.0
+    hw = control["hw_efficiency_n_to_4n"]
     return {"scaling": {"rows": n_rows,
                         f"local{n_lo}": results[n_lo],
                         f"local{n_hi}": results[n_hi],
                         "efficiency_n_to_4n": round(eff, 3),
+                        # same-day hardware ceiling + the job's efficiency
+                        # relative to what the box can deliver at all
+                        "cpu_control": control,
+                        "efficiency_vs_host_ceiling": round(min(eff / hw, 1.0), 3),
                         "cores": list(SCALING_CORES)}}
 
 

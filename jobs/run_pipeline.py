@@ -45,6 +45,11 @@ def main(argv: list[str] | None = None) -> int:
         help="regex: valid rows with matching uri are dropped before routing",
     )
     p.add_argument("--exact-quantiles", action="store_true")
+    p.add_argument(
+        "--full-agg", action="store_true",
+        help="recompute summaries from all routed tables instead of the "
+        "incremental per-bucket partials (the simple non-resume path)",
+    )
     args = p.parse_args(argv)
 
     from abs_log_spark.catalog import Catalog
@@ -67,6 +72,7 @@ def main(argv: list[str] | None = None) -> int:
         resume=not args.no_resume,
         input_aligned=args.aligned,
         exclude_uri=args.exclude_uri,
+        incremental_agg=not args.full_agg,
     )
     if args.repeat == 1:
         summary = run_pipeline(spark, cat, seq, dim, run_id=args.run_id, cfg=cfg)
