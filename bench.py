@@ -237,13 +237,26 @@ def save_scaling(result: dict) -> None:
 
 def load_scaling() -> dict:
     """Last recorded N-vs-4N measurement, stamped with the commit it was
-    measured at; 'stale' flags a recording older than the current HEAD so a
-    recorded blob can't masquerade as fresh evidence."""
+    measured at; 'stale' flags a recording that predates any change to the
+    measured code paths (engine/jobs/bench), so a recorded blob can't
+    masquerade as evidence for code it never ran — while docs-only commits
+    don't invalidate it."""
     if not os.path.exists(SCALING_FILE):
         return {"note": "no scaling recorded; run `python bench.py --scaling`"}
     with open(SCALING_FILE) as f:
         blob = json.load(f)
-    blob["stale"] = blob.get("measured_at_commit") != _git_head()
+    base = blob.get("measured_at_commit", "")
+    try:
+        # the measured job = jobs/run_pipeline.py over abs_log_spark; bench
+        # harness edits (this file) don't change what was measured
+        changed = subprocess.run(
+            ["git", "-C", REPO, "log", "--oneline", f"{base}..HEAD",
+             "--", "abs_log_spark", "jobs"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        blob["stale"] = bool(changed)
+    except Exception:
+        blob["stale"] = True
     return blob
 
 
