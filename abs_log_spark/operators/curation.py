@@ -1,0 +1,128 @@
+"""Training-data curation operators beyond dedup: deterministic sampling,
+sequence packing, near-dup cluster resolution, PII scrubbing.
+
+All four follow the engine's oracle discipline — every randomness source is
+an md5 hash of row keys (reproducible in ANSI SQL), every iteration count is
+fixed (both engines run the identical dataflow), so the DuckDB twin proves
+the distributed implementation bit-exact.
+
+Scale notes (100 TB corpus):
+- sampling is a pure map filter (no shuffle, no RNG state, idempotent under
+  retry — the property per-task `rand()` does NOT have);
+- packing is one window per stratum (sort within partition; Spark plans a
+  single shuffle on the stratum key);
+- cluster resolution moves only the (tiny) near-dup edge set through K
+  small self-joins, never the corpus;
+- scrubbing is JVM regexp_replace — whole-stage codegen, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def sample_hash_col(key, salt: str = "s1"):
+    """Deterministic 0-99 sampling hash: int of the first 4 md5 hex chars of
+    salt||key, mod 100. Identical in SQL: ('0x'||substr(md5(...),1,4))::INT
+    % 100. A row's fate depends only on (salt, key): stable across retries,
+    executors, and engines — the curation-grade replacement for rand()."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+
+
+def stratified_sample(
+    df: DataFrame, rates: DataFrame, stratum_col: str = "source",
+    key_col: str = "doc_id", salt: str = "s1",
+) -> DataFrame:
+    """Keep rows where sample_hash < the stratum's rate_pct (0-100).
+
+    ``rates``: (stratum, rate_pct) — tiny, broadcast; the filter itself is
+    map-side. The standard fix for Zipf-hot sources in training mixes:
+    downsample the head stratum, keep the tail."""
+    r = rates.withColumnRenamed(rates.columns[0], stratum_col)
+    out = df.join(F.broadcast(r), stratum_col, "left").na.fill({"rate_pct": 100})
+    return out.where(sample_hash_col(F.col(key_col), salt) < F.col("rate_pct"))
+
+
+def pack_greedy_bins(
+    df: DataFrame,
+    budget: int,
+    size_col: str = "n_tok",
+    part_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence-packing plan: within each stratum, walk docs in ``order_col``
+    order and assign bin = floor(tokens_before_this_doc / budget) — the
+    deterministic streaming-cumsum packing used to fill training context
+    windows. Adds ``pack_bin``. One window (= one shuffle on the stratum
+    key); docs may straddle bin boundaries, which the training loader
+    handles by splitting (the PLAN is the distributed part)."""
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(size_col).over(w)
+    return df.withColumn(
+        "pack_bin", F.floor((cum - F.col(size_col)) / F.lit(budget)).cast("int")
+    )
+
+
+def near_dup_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id", iters: int = 2
+) -> DataFrame:
+    """Resolve near-dup pairs into clusters by ``iters`` rounds of min-label
+    propagation; survivor = min doc id per cluster. Returns
+    (doc_id, cluster_id).
+
+    Fixed iteration count on BOTH engines (the oracle runs the identical
+    two rounds), so parity holds even mid-convergence; star-shaped dup
+    clusters (the overwhelmingly common case after exact dedup) converge in
+    one round, chains of length <= 2^iters in ``iters``. Each round joins
+    the label table against the EDGE set only — the corpus never re-shuffles
+    and the edge relation is candidate-pair sized, not corpus sized."""
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    lab = docs.select(F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id"))
+    for _ in range(iters):
+        nb_min = (
+            edges.join(lab.withColumnRenamed("id", "dst_id"),
+                       F.col("dst") == F.col("dst_id"))
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nb_label"))
+        )
+        lab = (
+            lab.join(nb_min, lab.id == nb_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nb_label"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+    return lab.select(F.col("id").alias(id_col), "cluster_id")
+
+
+#: PII patterns — intentionally simple so the Java (Spark) and RE2 (DuckDB)
+#: dialects agree character-for-character.
+EMAIL_RE = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+PHONE_RE = "555-[0-9]{4}"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace email/phone occurrences with typed placeholders and count
+    what was scrubbed (no silent rewriting). Pure JVM regexp — codegen'd,
+    no Python in the path."""
+    t = F.col(text_col)
+    emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+    clean = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    phones = F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0)))
+    return df.withColumn("n_emails", emails).withColumn(
+        "n_phones", phones
+    ).withColumn("clean_text", clean)

@@ -29,6 +29,13 @@ def register(name: str, sql: str | None):
 
 def load_all() -> dict[str, tuple[SparkQuery, str | None]]:
     """Import every query module so REGISTRY is fully populated."""
-    from abs_log_spark.queries import core, textops, dedup, ann, streaming  # noqa: F401
+    from abs_log_spark.queries import (  # noqa: F401
+        ann,
+        core,
+        curation,
+        dedup,
+        streaming,
+        textops,
+    )
 
     return REGISTRY

@@ -1,0 +1,178 @@
+"""Curation-operator queries: deterministic stratified sampling, sequence
+packing, near-dup cluster resolution, PII scrubbing. See
+operators/curation.py for the scale rationale; every query's randomness /
+iteration count is fixed and md5-derived so the DuckDB oracle is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from abs_log_spark.operators.curation import (
+    near_dup_clusters,
+    pack_greedy_bins,
+    sample_hash_col,
+    scrub_pii,
+    stratified_sample,
+)
+from abs_log_spark.queries import register
+from abs_log_spark.queries.dedup import _MINHASH_CTES
+from abs_log_spark.sources.readers import read_table
+
+_SAMPLE_SQL = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept
+FROM documents
+WHERE ('0x' || substr(md5('s1' || doc_id::VARCHAR), 1, 4))::INT % 100 <
+      CASE WHEN source = 'src0' THEN 10 ELSE 50 END
+GROUP BY 1
+"""
+
+
+@register("curation_sample_stratified", _SAMPLE_SQL)
+def curation_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-keyed stratified sampling: the Zipf-hot src0 is
+    downsampled to 10%, every other source to 50% — the standard head/tail
+    rebalance for a training mix. Hash-of-key sampling (not rand()) is
+    retry-stable and engine-reproducible; the oracle re-derives the exact
+    keep set."""
+    docs = read_table(spark, sf_dir, "documents")
+    sources = docs.sparkSession.createDataFrame(
+        [(f"src{k}", 10 if k == 0 else 50) for k in range(20)],
+        "source string, rate_pct int",
+    )
+    kept = stratified_sample(docs, sources)
+    return kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+
+
+_PACK_SQL = """
+WITH s AS (
+  SELECT source, doc_id, CAST(length(text) AS BIGINT) AS n_tok FROM documents
+), b AS (
+  SELECT source, n_tok,
+         CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - n_tok) / 2048) AS INT) AS pack_bin
+  FROM s
+)
+SELECT source, pack_bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS tok_sum
+FROM b GROUP BY 1, 2
+"""
+
+
+@register("curation_pack_bins", _PACK_SQL)
+def curation_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing plan: per source (stratum), docs in doc_id order are
+    assigned to 2048-token context bins by streaming cumsum — ONE window
+    per stratum, the deterministic distributed half of training-batch
+    packing. Token count = char count (the fixture's 1 token/char contract,
+    see tokens_roundtrip)."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.length("text").cast("long").alias("n_tok")
+    )
+    packed = pack_greedy_bins(docs, budget=2048)
+    return packed.groupBy("source", "pack_bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("tok_sum"),
+    )
+
+
+_CLUSTERS_SQL = (
+    _MINHASH_CTES
+    + """
+, vp AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT c.doc_a, c.doc_b,
+           round(COALESCE(i.ni, 0) / (na.n + nb.n - COALESCE(i.ni, 0)), 6) AS jaccard
+    FROM cand c
+    LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes na ON na.doc_id = c.doc_a
+    JOIN sizes nb ON nb.doc_id = c.doc_b
+  ) WHERE jaccard >= 0.5
+),
+e AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+      UNION ALL SELECT doc_b, doc_a FROM vp),
+l0 AS (SELECT doc_id AS id, doc_id AS cluster_id FROM all_docs),
+n1 AS (SELECT e.src, min(l.cluster_id) AS nb FROM e JOIN l0 l ON l.id = e.dst GROUP BY 1),
+l1 AS (SELECT l0.id, least(l0.cluster_id, coalesce(n1.nb, l0.cluster_id)) AS cluster_id
+       FROM l0 LEFT JOIN n1 ON n1.src = l0.id),
+n2 AS (SELECT e.src, min(l.cluster_id) AS nb FROM e JOIN l1 l ON l.id = e.dst GROUP BY 1),
+l2 AS (SELECT l1.id, least(l1.cluster_id, coalesce(n2.nb, l1.cluster_id)) AS cluster_id
+       FROM l1 LEFT JOIN n2 ON n2.src = l1.id)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM l2 GROUP BY 1 HAVING count(*) > 1
+"""
+)
+
+
+@register("curation_dup_clusters", _CLUSTERS_SQL)
+def curation_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs resolved into clusters (2 rounds of min-label
+    propagation over the edge set; survivor = min doc_id = cluster id) —
+    the step between pair detection and actually dropping duplicates. The
+    oracle runs the IDENTICAL two rounds, so parity holds independent of
+    convergence."""
+    from abs_log_spark.operators.dedup import minhash_lsh_pairs, with_near_dup_copies
+
+    docs = read_table(spark, sf_dir, "documents")
+    all_docs = with_near_dup_copies(docs)
+    pairs = minhash_lsh_pairs(all_docs, min_jaccard=0.5).select("doc_a", "doc_b")
+    clusters = near_dup_clusters(all_docs, pairs)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_members"))
+        .where(F.col("n_members") > 1)
+        .select(F.col("cluster_id").cast("long").alias("cluster_id"), "n_members")
+    )
+
+
+_PII_SQL = """
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact user' || doc_id::VARCHAR || '@example.org or 555-0199'
+              ELSE text END AS text
+  FROM documents
+), scrubbed AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z]+\\.[a-z]+')) AS INT) AS n_emails,
+         CAST(len(regexp_extract_all(text, '555-[0-9]{4}')) AS INT) AS n_phones,
+         regexp_replace(regexp_replace(text, '[a-z0-9]+@[a-z]+\\.[a-z]+', '<EMAIL>', 'g'),
+                        '555-[0-9]{4}', '<PHONE>', 'g') AS clean_text
+  FROM injected
+)
+SELECT doc_id, n_emails, n_phones,
+       CAST(length(clean_text) AS INT) AS clean_len,
+       md5(clean_text) AS scrub_sig
+FROM scrubbed
+"""
+
+
+@register("curation_pii_scrub", _PII_SQL)
+def curation_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing with counted replacements (never silent): inject a
+    deterministic email+phone into every 3rd doc, scrub both with typed
+    placeholders, and verify the exact cleaned text via md5 signature —
+    regex dialect parity (Java vs RE2) is part of what the oracle checks."""
+    docs = read_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.org or 555-0199"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = scrub_pii(injected)
+    return out.select(
+        "doc_id",
+        F.col("n_emails").cast("int").alias("n_emails"),
+        F.col("n_phones").cast("int").alias("n_phones"),
+        F.length("clean_text").cast("int").alias("clean_len"),
+        F.md5("clean_text").alias("scrub_sig"),
+    )
