@@ -1,0 +1,81 @@
+"""Behavioral invariants of the curation operators (operator-level; the
+oracle queries cover engine parity, these cover the semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from abs_log_spark.operators.curation import (
+    near_dup_clusters,
+    pack_greedy_bins,
+    sample_hash_col,
+    scrub_pii,
+    stratified_sample,
+)
+
+
+def test_sampling_is_deterministic_and_rate_accurate(spark):
+    docs = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string")).alias("source"),
+    )
+    rates = spark.createDataFrame(
+        [("src0", 10), ("src1", 50), ("src2", 90)], "source string, rate_pct int"
+    )
+    kept1 = stratified_sample(docs, rates)
+    kept2 = stratified_sample(docs, rates)
+    # deterministic: identical keep set across invocations (no rand())
+    assert kept1.exceptAll(kept2).count() == 0 and kept2.exceptAll(kept1).count() == 0
+    got = {r.source: r.n for r in kept1.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # md5 is uniform: each stratum lands within a few points of its rate
+    assert abs(got["src0"] - 100) < 40
+    assert abs(got["src1"] - 500) < 80
+    assert abs(got["src2"] - 900) < 80
+    # unlisted stratum defaults to keep-all
+    assert got.get("src3", 0) == 1000
+    # changing the salt changes the keep set (independence between uses)
+    resalted = docs.where(sample_hash_col(F.col("doc_id"), salt="other") < 50)
+    baseline = docs.where(sample_hash_col(F.col("doc_id"), salt="s1") < 50)
+    assert resalted.exceptAll(baseline).count() > 0
+
+
+def test_packing_respects_budget_boundaries(spark):
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.lit("s").alias("source"),
+        (F.col("id") % 7 + 1).cast("long").alias("n_tok"),
+    )
+    packed = pack_greedy_bins(docs, budget=16, size_col="n_tok").collect()
+    # reconstruct serially: bin must equal floor(tokens_before / budget)
+    before = 0
+    for r in sorted(packed, key=lambda r: r.doc_id):
+        assert r.pack_bin == before // 16, (r.doc_id, before, r.pack_bin)
+        before += r.n_tok
+    # bins are dense from 0
+    bins = sorted({r.pack_bin for r in packed})
+    assert bins == list(range(len(bins)))
+
+
+def test_clusters_star_and_chain(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    # star 1-{2,3}; chain 4-5-6; singleton 7
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5), (5, 6)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in near_dup_clusters(docs, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4, 7: 7}
+
+
+def test_scrub_pii_counts_and_placeholders(spark):
+    rows = [
+        (1, "write to bob99@mail.com and ann@site.org now"),
+        (2, "call 555-0100 or 555-0199"),
+        (3, "clean text only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert (got[1].n_emails, got[1].n_phones) == (2, 0)
+    assert got[1].clean_text == "write to <EMAIL> and <EMAIL> now"
+    assert (got[2].n_emails, got[2].n_phones) == (0, 2)
+    assert got[2].clean_text == "call <PHONE> or <PHONE>"
+    assert got[3].clean_text == "clean text only"
