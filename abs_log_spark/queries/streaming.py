@@ -19,31 +19,19 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from abs_log_spark.catalog import Catalog
 from abs_log_spark.plans.pipeline import PipelineConfig
 from abs_log_spark.queries import register
-from abs_log_spark.queries.core import _PIPE_FIELDS_CTE
+from abs_log_spark.queries.core import _PIPE_FIELDS_CTE, _PIPELINE_E2E_SQL
 from abs_log_spark.sources.readers import sequences_from_documents
 from abs_log_spark.sources.synth import gen_sources_dim
-from abs_log_spark.streaming import merge_agg_partials, run_stream_foreach_batch
-
-_STREAM_AGG_SQL = f"""
-{_PIPE_FIELDS_CTE}
-SELECT sink, site, minute, uri_abs,
-       CAST(count(*) AS BIGINT)   AS pv,
-       CAST(sum(bytes) AS BIGINT) AS bytes_sum,
-       round(sum(rt), 6)          AS rt_sum,
-       round(avg(rt), 6)          AS rt_avg,
-       round(min(rt), 6)          AS rt_min,
-       round(max(rt), 6)          AS rt_max,
-       CAST(sum(CASE WHEN status >= 400 THEN 1 ELSE 0 END) AS BIGINT) AS err_hits
-FROM f
-GROUP BY 1, 2, 3, 4
-"""
+from abs_log_spark.streaming import merge_stream_partials, run_stream_foreach_batch
 
 
-@register("streaming_minute_agg_fb", _STREAM_AGG_SQL)
+@register("streaming_minute_agg_fb", _PIPELINE_E2E_SQL)
 def streaming_minute_agg_fb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Micro-batched streaming pipeline vs the batch oracle: 4-file input,
-    maxFilesPerTrigger=2 => 2 micro-batches whose partials must merge to
-    exactly the single-pass aggregate."""
+    maxFilesPerTrigger=2 => 2 micro-batches whose histogram partials must
+    merge to EXACTLY the single-pass aggregate — including the exact
+    quantile columns, which now survive the cross-batch merge (the oracle
+    is the identical closed-form SQL the batch flagship uses)."""
     work = tempfile.mkdtemp(prefix="abslog_stream_q_")
     input_dir = os.path.join(work, "input")
     seq = sequences_from_documents(spark, sf_dir)
@@ -57,12 +45,12 @@ def streaming_minute_agg_fb(spark: SparkSession, sf_dir: str) -> DataFrame:
         input_dir,
         dim,
         checkpoint_dir=os.path.join(work, "ckpt"),
-        cfg=PipelineConfig(exact_quantiles=True),
+        cfg=PipelineConfig(),
         max_files_per_trigger=2,
     )
     q.awaitTermination()
 
-    merged = merge_agg_partials(cat.read(spark, "minute_agg_partials"))
+    merged = merge_stream_partials(cat.read(spark, "minute_agg_partials"))
     out = merged.select(
         "sink",
         "site",
@@ -73,8 +61,12 @@ def streaming_minute_agg_fb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rt_sum", 6).alias("rt_sum"),
         F.round("rt_avg", 6).alias("rt_avg"),
         F.round("rt_min", 6).alias("rt_min"),
+        F.round("rt_p25", 6).alias("rt_p25"),
+        F.round("rt_p50", 6).alias("rt_p50"),
+        F.round("rt_p75", 6).alias("rt_p75"),
         F.round("rt_max", 6).alias("rt_max"),
         "err_hits",
+        "invalid_hits",
     )
     rows = out.collect()
     shutil.rmtree(work, ignore_errors=True)

@@ -9,7 +9,7 @@ unchanged into ``readStream`` / ``foreachBatch``.
 
 from abs_log_spark.streaming.pipeline import (
     SEQUENCES_SCHEMA,
-    merge_agg_partials,
+    merge_stream_partials,
     read_sequence_stream,
     run_stream_foreach_batch,
     streaming_minute_agg,
@@ -17,7 +17,7 @@ from abs_log_spark.streaming.pipeline import (
 
 __all__ = [
     "SEQUENCES_SCHEMA",
-    "merge_agg_partials",
+    "merge_stream_partials",
     "read_sequence_stream",
     "run_stream_foreach_batch",
     "streaming_minute_agg",

@@ -9,12 +9,14 @@ Two execution shapes, both reusing the batch stages verbatim:
    own limitation that coarse regroupings carry totals only (see
    ``operators.aggregate.trend``).
 2. **foreachBatch micro-batching** (:func:`run_stream_foreach_batch`): each
-   micro-batch runs the full batch semantics (including exact/approx
-   quantiles *within* the batch) and appends partial aggregates keyed by
-   batch_id; :func:`merge_agg_partials` folds partials into final per-minute
-   totals. This is the shape that maps 1:1 onto the reference's cron
-   increments ([PK] each cron run aggregates its new lines, MongoDB upserts
-   merge them).
+   micro-batch aggregates into the SAME lossless histogram partials the
+   batch resume path uses (``operators.aggregate.minute_agg_hist_partials``
+   with batch_id as the bucket), appended per batch;
+   :func:`merge_stream_partials` folds them into final per-minute totals —
+   including EXACT cross-batch quantiles, which the round-1 shape (per-batch
+   minute_agg rows) could not merge. This is the shape that maps 1:1 onto
+   the reference's cron increments ([PK] each cron run aggregates its new
+   lines, MongoDB upserts merge them).
 
 Scale notes: the streaming state for (1) is bounded by
 |windows within watermark| x |sink, site, uri_abs| — small, because
@@ -36,7 +38,6 @@ from pyspark.sql.types import (
 )
 
 from abs_log_spark.catalog import Catalog
-from abs_log_spark.operators.aggregate import minute_agg
 from abs_log_spark.plans.pipeline import PipelineConfig, transform
 
 #: north-rule input schema ([B] input_hint) + the layout bucket column.
@@ -109,38 +110,19 @@ def streaming_minute_agg(
     )
 
 
-#: measures of minute_agg that merge exactly across micro-batch partials.
-_MERGEABLE = ("pv", "bytes_sum", "rt_sum", "err_hits", "invalid_hits")
-
-
-def merge_agg_partials(partials: DataFrame) -> DataFrame:
-    """Fold per-batch minute_agg partials into final per-minute totals.
-
-    Counts/sums add; min/max combine; avg is re-derived from sums. Quantile
-    columns are per-batch only and intentionally dropped here — exact
-    cross-batch quantiles require the raw values (the batch pipeline's job);
-    the reference has the same split (per-run quartiles, summed reports).
+def merge_stream_partials(partials: DataFrame) -> DataFrame:
+    """Fold per-batch histogram partials into final per-minute totals with
+    EXACT quantiles (same schema/values as the single-pass batch aggregate).
 
     Exactly-once under foreachBatch replay: a crash between the partials
-    append and the streaming checkpoint commit re-runs the SAME batch_id over
-    the same input files; the deterministic transform re-appends identical
-    partial rows. Deduping on (batch_id, group keys) before summing restores
-    exactly-once — without it every replayed batch double-counts pv/bytes/rt.
-    """
-    keys = ("sink", "site", "minute", "uri_abs")
-    if "batch_id" in partials.columns:
-        partials = partials.dropDuplicates(["batch_id", *keys])
-    return partials.groupBy(*keys).agg(
-        *[
-            F.sum(m).cast("double" if m == "rt_sum" else "long").alias(m)
-            for m in _MERGEABLE
-        ],
-        # rt is present on exactly the valid (pv-counted) rows, so the global
-        # average re-derives from the summed partials.
-        (F.sum("rt_sum") / F.sum("pv")).alias("rt_avg"),
-        F.min("rt_min").alias("rt_min"),
-        F.max("rt_max").alias("rt_max"),
-    )
+    append and the streaming checkpoint commit re-runs the SAME batch_id
+    over the same input files; the deterministic transform re-appends
+    BIT-IDENTICAL partial rows (the grain includes batch_id), so a full-row
+    dropDuplicates restores exactly-once — without it every replayed batch
+    double-counts pv/bytes/rt."""
+    from abs_log_spark.operators.aggregate import merge_minute_agg_hist_partials
+
+    return merge_minute_agg_hist_partials(partials.dropDuplicates())
 
 
 def run_stream_foreach_batch(
@@ -156,20 +138,24 @@ def run_stream_foreach_batch(
 ):
     """Micro-batch the stream through the full batch semantics.
 
-    Each batch: transform -> minute_agg -> append partials tagged with
-    batch_id to ``minute_agg_partials`` (append-only => replayable; the
-    streaming checkpoint gives exactly-once batch ids, so a restarted query
-    re-runs an uncommitted batch and its re-append replaces nothing —
-    dedup on (batch_id, keys) at merge time is the Iceberg-snapshot
-    stand-in). Returns the started StreamingQuery.
+    Each batch: transform -> histogram partials keyed by batch_id, appended
+    to ``minute_agg_partials`` (append-only => replayable; the streaming
+    checkpoint gives exactly-once batch ids, so a restarted query re-runs an
+    uncommitted batch and re-appends bit-identical rows — the full-row dedup
+    in :func:`merge_stream_partials` is the Iceberg-snapshot stand-in).
+    Returns the started StreamingQuery.
     """
     cfg = cfg or PipelineConfig()
     stream = read_sequence_stream(spark, input_path, max_files_per_trigger)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        from abs_log_spark.operators.aggregate import minute_agg_hist_partials
+
         routed = transform(batch_df, dim, cfg)
-        agg = minute_agg(routed, exact_quantiles=cfg.exact_quantiles)
-        cat.append(agg.withColumn("batch_id", F.lit(batch_id)), "minute_agg_partials")
+        hist = minute_agg_hist_partials(
+            routed.withColumn("batch_id", F.lit(batch_id)), bucket_col="batch_id"
+        )
+        cat.append(hist, "minute_agg_partials")
         if on_batch is not None:
             on_batch(batch_id, batch_df.count())
 

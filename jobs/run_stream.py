@@ -3,7 +3,8 @@
 The always-on counterpart of jobs/run_pipeline.py: micro-batches a
 sequences directory (or, on a cluster, an Iceberg table stream) through the
 identical batch stages via foreachBatch, appending per-batch minute_agg
-partials; ``merge_agg_partials`` folds them to final totals on read.
+histogram partials; ``merge_stream_partials`` folds them to final totals
+(EXACT quantiles included) on read.
 
 Usage (finite drain, e.g. backfill):
     python jobs/run_stream.py --input /data/sequences --warehouse /tmp/swh \
@@ -39,7 +40,7 @@ def main(argv: list[str] | None = None) -> int:
     from abs_log_spark.plans.pipeline import PipelineConfig
     from abs_log_spark.session import get_spark
     from abs_log_spark.sources.synth import gen_sources_dim
-    from abs_log_spark.streaming import merge_agg_partials, run_stream_foreach_batch
+    from abs_log_spark.streaming import merge_stream_partials, run_stream_foreach_batch
 
     spark = get_spark(app_name="abs-log-spark:stream", master=args.master)
     cat = Catalog(root=args.warehouse)
@@ -61,7 +62,7 @@ def main(argv: list[str] | None = None) -> int:
 
     merged_rows = 0
     if cat.exists("minute_agg_partials"):
-        merged = merge_agg_partials(cat.read(spark, "minute_agg_partials"))
+        merged = merge_stream_partials(cat.read(spark, "minute_agg_partials"))
         cat.write(merged.coalesce(1), "minute_agg_merged")
         merged_rows = cat.read(spark, "minute_agg_merged").count()
     print(json.dumps({

@@ -11,7 +11,7 @@ from abs_log_spark.operators.aggregate import minute_agg
 from abs_log_spark.plans.pipeline import transform
 from abs_log_spark.sources.synth import gen_sequences, gen_sources_dim
 from abs_log_spark.streaming import (
-    merge_agg_partials,
+    merge_stream_partials,
     read_sequence_stream,
     run_stream_foreach_batch,
     streaming_minute_agg,
@@ -72,8 +72,9 @@ def test_native_windowed_agg_equals_batch(spark, tmp_path, seq_input):
 
 
 def test_foreachbatch_partials_merge_to_batch_answer(spark, tmp_path, tmp_catalog, seq_input):
-    """Micro-batched foreachBatch partials, merged, == single-pass batch agg
-    on every mergeable measure (incl. the invalid-row null-key group)."""
+    """Micro-batched foreachBatch histogram partials, merged, == single-pass
+    batch agg on EVERY measure — exact quantiles included (they survive the
+    cross-batch merge), plus the invalid-row null-key group."""
     seq, input_dir = seq_input
     dim = gen_sources_dim(spark)
     q = run_stream_foreach_batch(
@@ -90,11 +91,14 @@ def test_foreachbatch_partials_merge_to_batch_answer(spark, tmp_path, tmp_catalo
     n_batches = partials.select("batch_id").distinct().count()
     assert n_batches >= 2, "multi-file input must produce multiple micro-batches"
 
-    merged = merge_agg_partials(partials)
+    merged = merge_stream_partials(partials)
     exact_cols = ["pv", "bytes_sum", "err_hits", "invalid_hits"]
-    float_cols = ["rt_sum", "rt_avg", "rt_min", "rt_max"]
+    float_cols = ["rt_sum", "rt_avg", "rt_min", "rt_p25", "rt_p50", "rt_p75", "rt_max"]
     got = _rows(merged, (KEYS, exact_cols + float_cols))
-    want = _rows(minute_agg(transform(seq, dim)), (KEYS, exact_cols + float_cols))
+    want = _rows(
+        minute_agg(transform(seq, dim), exact_quantiles=True),
+        (KEYS, exact_cols + float_cols),
+    )
 
     assert set(got) == set(want)
     for k, g in got.items():
@@ -124,16 +128,17 @@ def test_foreachbatch_replay_is_exactly_once(spark, tmp_path, tmp_catalog, seq_i
     q.awaitTermination()
 
     partials = tmp_catalog.read(spark, "minute_agg_partials")
-    clean = merge_agg_partials(partials)
-    want = _rows(clean, (KEYS, ["pv", "bytes_sum", "err_hits", "invalid_hits"]))
+    clean = merge_stream_partials(partials)
+    cols = ["pv", "bytes_sum", "err_hits", "invalid_hits", "rt_p50"]
+    want = _rows(clean, (KEYS, cols))
 
     # simulate the replay: batch 0's rows land a second time, bit-identical
     replay = partials.where("batch_id = 0")
     assert replay.count() > 0
     tmp_catalog.append(replay, "minute_agg_partials")
 
-    merged = merge_agg_partials(tmp_catalog.read(spark, "minute_agg_partials"))
-    got = _rows(merged, (KEYS, ["pv", "bytes_sum", "err_hits", "invalid_hits"]))
+    merged = merge_stream_partials(tmp_catalog.read(spark, "minute_agg_partials"))
+    got = _rows(merged, (KEYS, cols))
     assert got == want
 
 
