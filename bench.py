@@ -247,11 +247,25 @@ def load_scaling() -> dict:
         blob = json.load(f)
     base = blob.get("measured_at_commit", "")
     try:
-        # the measured job = jobs/run_pipeline.py over abs_log_spark; bench
-        # harness edits (this file) don't change what was measured
+        # the measured job is jobs/run_pipeline.py and exactly the modules
+        # it (transitively) imports; edits to dedup/ANN/streaming/query/
+        # bench-harness code never execute inside the measured job and so
+        # don't invalidate the measurement
+        measured_paths = [
+            "jobs/run_pipeline.py",
+            "abs_log_spark/plans",
+            "abs_log_spark/operators/aggregate.py",
+            "abs_log_spark/operators/enrich.py",
+            "abs_log_spark/functions/parse.py",
+            "abs_log_spark/functions/abstract.py",
+            "abs_log_spark/functions/tokens.py",
+            "abs_log_spark/sources/synth.py",
+            "abs_log_spark/catalog.py",
+            "abs_log_spark/session.py",
+        ]
         changed = subprocess.run(
             ["git", "-C", REPO, "log", "--oneline", f"{base}..HEAD",
-             "--", "abs_log_spark", "jobs"],
+             "--", *measured_paths],
             capture_output=True, text=True, timeout=10,
         ).stdout.strip()
         blob["stale"] = bool(changed)
