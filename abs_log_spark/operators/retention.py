@@ -47,6 +47,47 @@ def expire_summary(
     return {"kept": kept, "dropped": total - kept}
 
 
+def expire_buckets(spark: SparkSession, cat: Catalog, buckets: list[str]) -> dict:
+    """Consistently expire input buckets EVERYWHERE they left state: every
+    ``routed_*`` table's partitions, the ``agg_partials`` histogram
+    partitions, and the checkpoint rows — then rebuild the summary tables
+    from the remaining partials.
+
+    This is the expiry the incremental-aggregation design requires: dropping
+    only the routed partitions would leave the buckets' partials behind, and
+    the next ``rebuild_summaries`` would resurrect expired data; leaving the
+    checkpoint rows would make a later re-ingest of the same bucket key
+    silently skip. One call keeps all four surfaces in lockstep. Iceberg
+    equivalent: partition DELETEs on the two data tables + checkpoint DELETE
+    + the summary REPLACE, in one transaction group.
+    """
+    from abs_log_spark.plans.checkpoint import CHECKPOINT_TABLE
+    from abs_log_spark.plans.pipeline import rebuild_summaries
+
+    dropped = {"routed_partitions": 0, "partials_partitions": 0, "checkpoint_rows": 0}
+    tables = [
+        t for t in os.listdir(cat.root)
+        if t.startswith("routed_") and os.path.isdir(cat.path(t))
+    ] if os.path.isdir(cat.root) else []
+    for t in tables:
+        dropped["routed_partitions"] += expire_routed_buckets(cat, t, buckets)
+    dropped["partials_partitions"] = expire_routed_buckets(cat, "agg_partials", buckets)
+
+    if cat.exists(CHECKPOINT_TABLE):
+        ck = cat.read(spark, CHECKPOINT_TABLE)
+        keep = ck.where(~F.col("partition_key").isin(*[str(b) for b in buckets]))
+        n_total = ck.count()
+        staging = "_checkpoint_retention_staging"
+        cat.write(keep.coalesce(1), staging)
+        n_keep = cat.read(spark, staging).count()
+        cat.drop(CHECKPOINT_TABLE)
+        os.replace(cat.path(staging), cat.path(CHECKPOINT_TABLE))
+        dropped["checkpoint_rows"] = n_total - n_keep
+
+    rebuild_summaries(spark, cat)
+    return dropped
+
+
 def expire_routed_buckets(cat: Catalog, table: str, buckets: list[str]) -> int:
     """Drop whole partition directories of a routed table (the scale path —
     a metadata/file operation, no data rewrite). ``buckets`` are partition

@@ -76,6 +76,35 @@ class PipelineConfig:
     incremental_agg: bool = True
 
 
+def fan_out_summary(cat: Catalog, name: str, summary: DataFrame) -> None:
+    """ONE write job per summary kind, fanned out to per-sink tables by a
+    partitioned write + directory promote (no per-sink filter jobs —
+    measured ~0.4s of scheduler overhead per tiny job). ``_sink`` duplicates
+    ``sink`` purely to drive the directory layout while keeping the sink
+    column inside the data files."""
+    staging = f"_{name}staging"
+    cat.drop(staging)
+    cat.write(
+        summary.withColumn("_sink", F.col("sink")).repartition(F.col("_sink")),
+        staging,
+        partition_by=("_sink",),
+    )
+    cat.promote_sink_tables(staging, name)
+
+
+def rebuild_summaries(spark: SparkSession, cat: Catalog) -> bool:
+    """Re-derive every summary table from the current ``agg_partials``
+    relation (aggregate-sized — never the routed history). The single
+    summary-consistency primitive: the incremental pipeline, bucket expiry,
+    and crash recovery all converge on 'summaries = merge(partials)'."""
+    if not cat.exists("agg_partials"):
+        return False
+    partials = cat.read(spark, "agg_partials")
+    fan_out_summary(cat, "minute_agg_", merge_minute_agg_hist_partials(partials))
+    fan_out_summary(cat, "errors_", errors_from_hist_partials(partials))
+    return True
+
+
 def abstract_stage(df: DataFrame) -> DataFrame:
     return df.withColumn("uri_abs", uri_abs_col(F.col("uri"))).withColumn(
         "args_abs", args_abs_col(F.col("args"))
@@ -208,21 +237,6 @@ def run_pipeline(
             out = out.unionByName(p)
         return out
 
-    def _fan_out(name: str, summary: DataFrame) -> None:
-        # ONE write job per summary kind, fanned out to per-sink tables by a
-        # partitioned write + directory promote (no per-sink filter jobs —
-        # measured ~0.4s of scheduler overhead per tiny job). `_sink`
-        # duplicates `sink` purely to drive the directory layout while
-        # keeping the sink column inside the data files.
-        staging = f"_{name}staging"
-        cat.drop(staging)
-        cat.write(
-            summary.withColumn("_sink", F.col("sink")).repartition(F.col("_sink")),
-            staging,
-            partition_by=("_sink",),
-        )
-        cat.promote_sink_tables(staging, name)
-
     if cfg.incremental_agg:
         if buckets:
             inc = _routed_union(bucket_filter=buckets)
@@ -236,18 +250,15 @@ def run_pipeline(
                     "agg_partials",
                     partition_by=("part_bucket",),
                 )
-        if cat.exists("agg_partials"):
-            partials = cat.read(spark, "agg_partials")
-            _fan_out("minute_agg_", merge_minute_agg_hist_partials(partials))
-            _fan_out("errors_", errors_from_hist_partials(partials))
+        rebuild_summaries(spark, cat)
         metrics.mark("aggregate")
     else:
         allr = _routed_union(bucket_filter=None)
         if allr is not None:
-            _fan_out(
-                "minute_agg_", minute_agg(allr, exact_quantiles=cfg.exact_quantiles)
+            fan_out_summary(
+                cat, "minute_agg_", minute_agg(allr, exact_quantiles=cfg.exact_quantiles)
             )
-            _fan_out("errors_", error_view(allr))
+            fan_out_summary(cat, "errors_", error_view(allr))
             metrics.mark("aggregate")
 
     vals = metrics.flush(spark, cat, run_id, buckets)

@@ -92,6 +92,55 @@ def test_expire_summary(spark, tmp_catalog):
     assert remaining.agg(F.min("pv")).first()[0] == 40
 
 
+def test_expire_buckets_keeps_all_state_consistent(spark, tmp_catalog):
+    """Expiring buckets must drop routed data, histogram partials, AND
+    checkpoint rows together, then rebuild summaries — otherwise the next
+    merge resurrects expired data or a re-ingest silently skips."""
+    from abs_log_spark.operators.retention import expire_buckets
+    from abs_log_spark.plans import checkpoint as ckpt
+    from abs_log_spark.plans.pipeline import run_pipeline
+    from abs_log_spark.sources.synth import gen_sequences, gen_sources_dim
+
+    seq = gen_sequences(spark, 600, invalid_every=10)
+    dim = gen_sources_dim(spark)
+    run_pipeline(spark, tmp_catalog, seq, dim, run_id="r1")
+    pv_all = sum(
+        tmp_catalog.read(spark, f"minute_agg_{s}").agg(F.sum("pv")).collect()[0][0]
+        for s in ("sink_a", "sink_b", "sink_c")
+        if tmp_catalog.exists(f"minute_agg_{s}")
+    )
+
+    res = expire_buckets(spark, tmp_catalog, ["0", "1"])
+    assert res["partials_partitions"] == 2 and res["checkpoint_rows"] == 2
+    assert res["routed_partitions"] >= 2
+    assert ckpt.completed_partitions(spark, tmp_catalog, "routed") == {
+        "2", "3", "4", "5", "6", "7"
+    }
+    pv_after = sum(
+        tmp_catalog.read(spark, f"minute_agg_{s}").agg(F.sum("pv")).collect()[0][0]
+        for s in ("sink_a", "sink_b", "sink_c")
+        if tmp_catalog.exists(f"minute_agg_{s}")
+    )
+    # ground truth: pv counts exactly the VALID rows of the surviving buckets
+    from abs_log_spark.plans.pipeline import transform
+
+    valid_expired = (
+        transform(seq.where("part_bucket < 2"), dim).where("valid").count()
+    )
+    assert valid_expired > 0
+    assert pv_after == pv_all - valid_expired
+
+    # re-ingesting the expired buckets reprocesses them (checkpoint cleared)
+    r2 = run_pipeline(spark, tmp_catalog, seq, dim, run_id="r2")
+    assert r2["buckets_processed"] == 2
+    pv_back = sum(
+        tmp_catalog.read(spark, f"minute_agg_{s}").agg(F.sum("pv")).collect()[0][0]
+        for s in ("sink_a", "sink_b", "sink_c")
+        if tmp_catalog.exists(f"minute_agg_{s}")
+    )
+    assert pv_back == pv_all
+
+
 def test_expire_routed_buckets(spark, tmp_catalog):
     df = spark.range(100).select(
         F.col("id"), (F.col("id") % 4).cast("int").alias("part_bucket")
