@@ -107,7 +107,9 @@ def run_pipeline_bench(spark, n_rows: int, warehouse: str) -> dict:
 #: large-core run at ~75s steady state; measured efficiency rose 0.70 ->
 #: 0.77 going 8M -> 24M purely from amortizing those fixed costs.
 SCALING_ROWS = 24_000_000
-SCALING_REPS = 3  # per JVM: rep0 = JIT warmup (discarded), min of the rest
+SCALING_REPS = 4  # per JVM: rep0 = JIT warmup (discarded), min of the rest
+# (4, not 3: observed interference windows where wall was still decaying at
+# rep 3 — one more steady rep materially improves the min's fidelity)
 #: N and 4N ([B] north_rule "two cluster sizes (N and 4N executors)").
 #: 4 vs 16 cores, NOT 8 vs 32: a pure-CPU control (32 independent busy
 #: processes vs 8) shows this VM delivers only ~3.4x compute from 8->32
