@@ -45,6 +45,19 @@ class Catalog:
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.read.parquet(self.path(table))
 
+    def partition_values(self, table: str, key: str = "part_bucket") -> set[str]:
+        """Partition values of a table's top-level ``key=value`` dirs, from
+        the directory listing alone (the parquet stand-in for an Iceberg
+        partitions-metadata query — no Spark job, no file reads)."""
+        p = self.path(table)
+        if not os.path.isdir(p):
+            return set()
+        return {
+            d.split("=", 1)[1]
+            for d in os.listdir(p)
+            if d.startswith(f"{key}=") and os.path.isdir(os.path.join(p, d))
+        }
+
     def write(
         self,
         df: DataFrame,

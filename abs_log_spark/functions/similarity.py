@@ -24,6 +24,9 @@ MINHASH_SEEDS = 8
 BAND_SIZE = 2  # 4 bands of 2 -> candidate if any band matches
 SIMHASH_BITS = 64
 SIMHASH_CHUNK_BITS = 16  # 4 chunks of 16 -> 65536 buckets per chunk position
+#: packed-lane capacity: each 16-bit lane holds 2*count, so counts are safe
+#: up to 2^15 - 1 distinct features per doc; enforced in simhash_signature.
+SIMHASH_MAX_FEATURES = 32767
 HEX_DIGITS = "0123456789abcdef"
 
 
@@ -195,6 +198,24 @@ def simhash_signature(
     base = df.select(
         "doc_id", F.array_distinct(shingles_col(F.col(text_col), k)).alias("_sh")
     ).where(F.size("_sh") > 0)
+    # fail LOUDLY on docs whose distinct-shingle count would overflow a
+    # 16-bit lane (same contract as ann._guard_dim: corrupt-silently is the
+    # one unacceptable outcome)
+    base = base.withColumn(
+        "_sh",
+        F.when(F.size("_sh") <= SIMHASH_MAX_FEATURES, F.col("_sh")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"simhash: doc exceeds {SIMHASH_MAX_FEATURES} distinct "
+                        "shingles (16-bit lane overflow); length-screen it "
+                        "upstream. doc_id="
+                    ),
+                    F.col("doc_id").cast("string"),
+                )
+            )
+        ),
+    )
     # PACKED accumulators: one long per md5 hex char, carrying that nibble's
     # 4 bit-counters in 16-bit lanes (lane j = 2*bit(4i+j), doubled so the
     # final sign test is `2*sum(bit) > n_features` with no -1 terms). A
@@ -202,8 +223,11 @@ def simhash_signature(
     # feature that's bits/4 map lookups + a bits/4-long zip_with, 4x fewer
     # adds and allocations than per-bit arrays (measured 3.2s -> 2.2s at
     # 10k docs; the original binary-string/char-compare form was 12s).
-    # Lane width caps features at 32767 distinct shingles per doc — filter
-    # longer docs upstream (a 32k-shingle doc needs length screening anyway).
+    # Lane width caps features at 32767 distinct shingles per doc; enforced
+    # at runtime below (SIMHASH_MAX_FEATURES) — an over-limit doc would
+    # overflow a lane into the adjacent bit's counter and SILENTLY corrupt
+    # the signature, so it raises instead (filter/length-screen such docs
+    # upstream; a 32k-shingle doc needs screening anyway).
     nibble_map = F.create_map(
         *[
             c

@@ -81,7 +81,11 @@ def near_dup_clusters(
     Fixed iteration count on BOTH engines (the oracle runs the identical
     two rounds), so parity holds even mid-convergence; star-shaped dup
     clusters (the overwhelmingly common case after exact dedup) converge in
-    one round, chains of length <= 2^iters in ``iters``. Each round joins
+    one round. Synchronous min-label propagation moves a label ONE hop per
+    round, so chains of <= ``iters`` hops converge (pointer-jumping /
+    large-star-small-star would give 2^iters, at the cost of re-writing the
+    edge set each round — not worth it for post-exact-dedup cluster shapes,
+    where diameters are tiny). Each round joins
     the label table against the EDGE set only — the corpus never re-shuffles
     and the edge relation is candidate-pair sized, not corpus sized."""
     edges = pairs.select(

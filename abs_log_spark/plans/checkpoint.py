@@ -53,17 +53,17 @@ def filter_pending(df: DataFrame, done: set[str], key_col: str = "part_bucket") 
     broadcast left_anti join instead of a thousands-deep isin chain."""
     if not done:
         return df
+    # normalize NULL keys to a sentinel so both paths agree: a bare
+    # ~isin(...) evaluates to NULL on a null key and silently DROPS the row,
+    # while left_anti keeps it — behavior must not flip at ISIN_MAX_KEYS.
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("<null>"))
     if len(done) <= ISIN_MAX_KEYS:
-        return df.where(~F.col(key_col).cast("string").isin(*sorted(done)))
+        return df.where(~key.isin(*sorted(done)))
     spark = df.sparkSession
     done_df = spark.createDataFrame(
         [(k,) for k in sorted(done)], "_done_key string"
     )
-    return df.join(
-        F.broadcast(done_df),
-        F.col(key_col).cast("string") == F.col("_done_key"),
-        "left_anti",
-    )
+    return df.join(F.broadcast(done_df), key == F.col("_done_key"), "left_anti")
 
 
 def mark_done(

@@ -32,6 +32,7 @@ Scale design decisions (10^12 rows / 1000 executors):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -90,6 +91,38 @@ def fan_out_summary(cat: Catalog, name: str, summary: DataFrame) -> None:
         partition_by=("_sink",),
     )
     cat.promote_sink_tables(staging, name)
+
+
+def missing_partials_buckets(cat: Catalog, exclude: set[str] = frozenset()) -> set[str]:
+    """Buckets present in routed history but absent from ``agg_partials`` —
+    summary rows that a partials-only rebuild would silently drop. Two known
+    producers: a crash after the routed promote but before the partials
+    write, and history built with ``incremental_agg=False`` (--full-agg)
+    before switching modes. Pure directory-listing comparison (no Spark
+    jobs); buckets folded into a consolidated partition by compaction are
+    accounted for via the compaction manifest."""
+    routed: set[str] = set()
+    if os.path.isdir(cat.root):
+        for t in os.listdir(cat.root):
+            if t.startswith("routed_"):
+                routed |= cat.partition_values(t)
+    have = cat.partition_values("agg_partials")
+    have |= compacted_buckets(cat)
+    return routed - have - set(exclude)
+
+
+def compacted_buckets(cat: Catalog) -> set[str]:
+    """Buckets whose partials were folded into the consolidated partition by
+    :func:`compact_partials` — recorded in the ``compacted_buckets`` manifest
+    (tiny parquet), read here via its partition-style dir listing twin kept
+    as a flat file for simplicity."""
+    import json
+
+    p = os.path.join(cat.root, "_compacted_buckets.json")
+    if not os.path.exists(p):
+        return set()
+    with open(p) as f:
+        return set(json.load(f))
 
 
 def rebuild_summaries(spark: SparkSession, cat: Catalog) -> bool:
@@ -192,12 +225,17 @@ def run_pipeline(
     processed_any = bool(moved)
 
     # Buckets in this increment come from the promoted dir names — zero
-    # extra Spark jobs.
+    # extra Spark jobs. mark_done happens AFTER the aggregate stage below:
+    # checkpointing first opened a crash window where a bucket was recorded
+    # done but its agg_partials were never written, so a resumed run skipped
+    # it and rebuild_summaries silently omitted its rows forever. Both the
+    # routed promote and the dynamic-partition-overwrite partials write are
+    # idempotent under bucket re-run, so crash-before-mark_done just re-runs
+    # the bucket. Belt-and-braces, missing_partials_buckets() also detects
+    # and heals any routed-done-but-partials-absent bucket on the next run.
     buckets = sorted(
         {d.split("=", 1)[1] for dirs in moved.values() for d in dirs if "=" in d}
     )
-    if buckets:
-        ckpt.mark_done(spark, cat, run_id, "routed", buckets)
 
     # Derived aggregates. Two paths:
     #
@@ -238,8 +276,17 @@ def run_pipeline(
         return out
 
     if cfg.incremental_agg:
-        if buckets:
-            inc = _routed_union(bucket_filter=buckets)
+        # Heal partials gaps BEFORE folding summaries: buckets present in
+        # routed history but absent from agg_partials (a crash inside the
+        # old mark_done window, or history built with --full-agg and then
+        # switched to incremental) would otherwise be silently dropped from
+        # every summary table by the partials-only rebuild. Backfilling
+        # re-aggregates exactly the missing buckets' routed partitions —
+        # partition-pruned, never the completed history.
+        backfill = missing_partials_buckets(cat, exclude=set(buckets))
+        agg_buckets = sorted(set(buckets) | backfill)
+        if agg_buckets:
+            inc = _routed_union(bucket_filter=agg_buckets)
             if inc is not None:
                 inc = metrics.observe_agg_input(inc)
                 # distinct from the streaming 'minute_agg_partials' table:
@@ -253,6 +300,7 @@ def run_pipeline(
         rebuild_summaries(spark, cat)
         metrics.mark("aggregate")
     else:
+        backfill = set()
         allr = _routed_union(bucket_filter=None)
         if allr is not None:
             fan_out_summary(
@@ -261,8 +309,13 @@ def run_pipeline(
             fan_out_summary(cat, "errors_", error_view(allr))
             metrics.mark("aggregate")
 
+    # checkpoint LAST (see comment above the bucket derivation)
+    if buckets:
+        ckpt.mark_done(spark, cat, run_id, "routed", buckets)
+
     vals = metrics.flush(spark, cat, run_id, buckets)
     vals["buckets_processed"] = len(buckets)
+    vals["buckets_backfilled"] = len(backfill)
     vals["buckets_skipped"] = len(done)
     vals["sinks"] = sinks
     vals["any_write"] = processed_any

@@ -39,6 +39,50 @@ def test_ann_dim_parameter_plumbs(spark):
     assert all(0 <= r.ivf_list < 4 for r in assigned)
 
 
+def test_simhash_feature_overflow_raises(spark):
+    """A doc with > 32767 distinct shingles would overflow the packed 16-bit
+    lanes and silently corrupt its signature; it must ERROR instead."""
+    from abs_log_spark.functions.similarity import simhash_signature
+
+    n_words = 32771  # 32769 distinct 3-gram shingles from distinct words
+    big = spark.range(1).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(F.sequence(F.lit(1), F.lit(n_words)),
+                        lambda i: F.concat(F.lit("w"), i.cast("string"))),
+            " ",
+        ).alias("text"),
+    )
+    with pytest.raises(Exception, match="distinct"):
+        simhash_signature(big).collect()
+    # one word under the cap is fine
+    ok = spark.range(1).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(F.sequence(F.lit(1), F.lit(32769)),
+                        lambda i: F.concat(F.lit("w"), i.cast("string"))),
+            " ",
+        ).alias("text"),
+    )
+    assert simhash_signature(ok).count() == 1
+
+
+def test_filter_pending_null_keys_consistent(spark):
+    """NULL keys must survive BOTH filter_pending paths identically (the
+    isin form's NULL predicate used to silently drop them)."""
+    df = spark.range(20).select(
+        F.when(F.col("id") < 5, None).otherwise(F.col("id") % 10)
+        .cast("int").alias("part_bucket")
+    )
+    small = {"1", "2"}
+    large = {str(k) for k in range(ISIN_MAX_KEYS + 10)} - {"0"}
+    n_null = 5
+    got_small = filter_pending(df, small)
+    got_large = filter_pending(df, large)
+    assert got_small.where(F.col("part_bucket").isNull()).count() == n_null
+    assert got_large.where(F.col("part_bucket").isNull()).count() == n_null
+
+
 def test_filter_pending_anti_join_for_large_done_sets(spark):
     df = spark.range(500).select(
         F.col("id"), (F.col("id") % 200).cast("int").alias("part_bucket")

@@ -275,6 +275,55 @@ def test_incremental_agg_bucket_rerun_idempotent(spark, tmp_catalog):
         ), s
 
 
+def test_crash_between_promote_and_partials_heals(spark, tmp_catalog):
+    """The mark_done-before-partials crash window: a bucket checkpointed as
+    routed-done but with no agg_partials partition must be detected and
+    backfilled on the next run — never silently dropped from summaries."""
+    import shutil
+
+    seq = gen_sequences(spark, N, invalid_every=10)
+    dim = gen_sources_dim(spark)
+    run_pipeline(spark, tmp_catalog, seq, dim, run_id="r1")
+    pv1 = {
+        s: tmp_catalog.read(spark, f"minute_agg_{s}").agg(F.sum("pv")).collect()[0][0]
+        for s in ("sink_a", "sink_b", "sink_c")
+        if tmp_catalog.exists(f"minute_agg_{s}")
+    }
+    # simulate the crash state: bucket 2's partials vanish, checkpoint says done
+    shutil.rmtree(tmp_catalog.path("agg_partials") + "/part_bucket=2")
+    r2 = run_pipeline(spark, tmp_catalog, seq, dim, run_id="r2")
+    assert r2["buckets_processed"] == 0 and r2["buckets_backfilled"] == 1
+    for s, v in pv1.items():
+        assert (
+            tmp_catalog.read(spark, f"minute_agg_{s}").agg(F.sum("pv")).collect()[0][0]
+            == v
+        ), s
+
+
+def test_full_to_incremental_mode_mixing_backfills(spark, tmp_catalog):
+    """History built with --full-agg has no partials; a later incremental run
+    must backfill them instead of rebuilding summaries from an empty partials
+    table (silently dropping all prior history)."""
+    seq = gen_sequences(spark, N, invalid_every=10)
+    dim = gen_sources_dim(spark)
+    run_pipeline(spark, tmp_catalog, seq, dim, run_id="full",
+                 cfg=PipelineConfig(incremental_agg=False, exact_quantiles=True))
+    pv1 = {
+        s: tmp_catalog.read(spark, f"minute_agg_{s}").agg(F.sum("pv")).collect()[0][0]
+        for s in ("sink_a", "sink_b", "sink_c")
+        if tmp_catalog.exists(f"minute_agg_{s}")
+    }
+    assert not tmp_catalog.exists("agg_partials")
+    r2 = run_pipeline(spark, tmp_catalog, seq, dim, run_id="inc")  # incremental
+    assert r2["buckets_processed"] == 0 and r2["buckets_backfilled"] == 8
+    assert tmp_catalog.exists("agg_partials")
+    for s, v in pv1.items():
+        assert (
+            tmp_catalog.read(spark, f"minute_agg_{s}").agg(F.sum("pv")).collect()[0][0]
+            == v
+        ), s
+
+
 def test_aligned_mode_matches_unaligned(spark, tmp_path):
     """input_aligned (shuffle-free routing over layout-clustered input) must
     produce identical routed counts and minute aggregates to the default
