@@ -18,16 +18,29 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from abs_log_spark import cache
 from abs_log_spark.functions.similarity import (
     band_buckets,
     candidate_pairs,
     hamming_col,
     jaccard_from_arrays,
     minhash_signature_arr,
+    oversized_buckets,
     shingles_col,
     simhash_signature,
 )
 from abs_log_spark.functions.text import fingerprint_md5_col
+
+#: Default pair-expansion cap, ON in every production-shaped entry point: an
+#: adversarial exact-dup cluster (identical signatures -> one bucket per
+#: band/chunk) expands quadratically in a single row without it — the one
+#: OOM the LSH formulation admits. 512 members = ~131k pairs (~2 MB) per
+#: bucket row, far above anything organic similarity produces (run
+#: dedup_exact first and buckets hold true near-dups only) yet bounded
+#: against a million-copy cluster. The SQL oracles state the identical cap,
+#: so the guard is part of the checked semantics, not a silent truncation;
+#: skipped buckets are surfaced via ``skipped_out``.
+DEFAULT_MAX_BUCKET_SIZE = 512
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -46,8 +59,9 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def minhash_lsh_pairs(
     df: DataFrame, text_col: str = "text", min_jaccard: float = 0.5,
     materialize_shingles: bool = True,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     persisted_out: list | None = None,
+    skipped_out: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified by exact Jaccard.
     Returns (doc_a, doc_b, jaccard) with jaccard >= min_jaccard.
@@ -63,20 +77,29 @@ def minhash_lsh_pairs(
     Persist lifecycle: the result is lazy, so this function cannot know when
     the cached shingle relation is safe to release. Pass ``persisted_out``
     (a list) to receive the persisted DataFrame and ``unpersist()`` it once
-    the returned pairs are materialized; otherwise the cache lives until the
-    session ends (fine for one-shot jobs, a leak in long-lived sessions).
+    the returned pairs are materialized; without it the handle lands in the
+    session cache registry (``abs_log_spark.cache``) and whoever drives the
+    action calls ``cache.release_all()`` — the bench loop does this after
+    every query, so repeated runs in one JVM never accumulate storage.
 
     ``max_bucket_size`` guards the candidate pair expansion against
-    mega-buckets (giant dup clusters); surface ``oversized_buckets`` counts
-    when you set it — never cap silently.
+    mega-buckets (giant dup clusters); ON by default
+    (:data:`DEFAULT_MAX_BUCKET_SIZE`). Pass ``skipped_out`` (a list) to
+    receive the lazy (band, bucket, n_members) relation of skipped buckets —
+    count/log it alongside the pairs so a capped run is never silent; pass
+    ``max_bucket_size=None`` to run uncapped.
     """
     docs_sh = df.select("doc_id", shingles_col(F.col(text_col)).alias("sh"))
     if materialize_shingles:
         docs_sh = docs_sh.persist()
-        if persisted_out is not None:
-            persisted_out.append(docs_sh)
+        # lifecycle ownership: hand the persisted handle to the caller, or
+        # to the session cache registry for whoever drives the action
+        (persisted_out if persisted_out is not None else cache._TRACKED).append(docs_sh)
     sig = minhash_signature_arr(docs_sh)
-    cand = candidate_pairs(band_buckets(sig), max_bucket_size)
+    bb = band_buckets(sig)
+    if skipped_out is not None and max_bucket_size is not None:
+        skipped_out.append(oversized_buckets(bb, max_bucket_size))
+    cand = candidate_pairs(bb, max_bucket_size)
     jac = jaccard_from_arrays(cand, docs_sh)
     return jac.where(F.col("jaccard") >= min_jaccard)
 
@@ -87,7 +110,9 @@ def simhash_pairs(
     max_hamming: int = 12,
     chunk_bits: int | None = None,
     materialize_signatures: bool = True,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     persisted_out: list | None = None,
+    skipped_out: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs via SimHash chunk-LSH (any equal ``chunk_bits``-wide
     chunk at the same position -> candidate), verified by Hamming distance.
@@ -101,8 +126,14 @@ def simhash_pairs(
     ``chunk_bits`` is the recall/cost dial: pairs with hamming < n_chunks
     are GUARANTEED candidates (pigeonhole); narrower chunks raise that
     guarantee but multiply bucket occupancy (64/8 -> 256 buckets/position:
-    expect N^2/256 random candidate pairs — pair that setting with
-    candidate_pairs' max_bucket_size guard at scale).
+    expect N^2/256 random candidate pairs).
+
+    ``max_bucket_size`` (ON by default, :data:`DEFAULT_MAX_BUCKET_SIZE`)
+    guards the chunk-bucket pair expansion exactly as in
+    :func:`minhash_lsh_pairs` — an exact-dup mega-cluster collapses to ONE
+    bucket per chunk position and would otherwise expand quadratically in a
+    single row. ``skipped_out`` receives the lazy skipped-bucket relation
+    (band = chunk index); surface its counts, never cap silently.
     """
     from abs_log_spark.functions.similarity import SIMHASH_BITS, SIMHASH_CHUNK_BITS
 
@@ -115,8 +146,7 @@ def simhash_pairs(
     # petabyte scale write the signature relation to a table instead.
     if materialize_signatures:
         sig = sig.persist()
-        if persisted_out is not None:
-            persisted_out.append(sig)
+        (persisted_out if persisted_out is not None else cache._TRACKED).append(sig)
     # chunk-LSH reuses the banded candidate machinery: band = chunk index,
     # bucket = the chunk substring (one groupBy + in-row pairing, see
     # similarity.candidate_pairs)
@@ -135,7 +165,9 @@ def simhash_pairs(
             ])
         ).alias("cb"),
     ).select("doc_id", "cb.band", "cb.bucket")
-    cand = candidate_pairs(chunks)
+    if skipped_out is not None and max_bucket_size is not None:
+        skipped_out.append(oversized_buckets(chunks, max_bucket_size))
+    cand = candidate_pairs(chunks, max_bucket_size)
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
     return (

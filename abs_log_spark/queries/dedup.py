@@ -42,8 +42,13 @@ def dedup_exact_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact(docs.unionByName(copies))
 
 
+from abs_log_spark.operators.dedup import DEFAULT_MAX_BUCKET_SIZE as _CAP
+
 #: The shared shingle/minhash CTE pipeline, also used by the jaccard oracle.
-_MINHASH_CTES = """
+#: States the SAME default mega-bucket cap as the Spark path (buckets with
+#: more than DEFAULT_MAX_BUCKET_SIZE members produce no candidate pairs), so
+#: the guard is checked semantics on both engines, not a silent divergence.
+_MINHASH_CTES = f"""
 WITH all_docs AS (
   SELECT doc_id, text FROM documents
   UNION ALL
@@ -77,10 +82,14 @@ bb AS (
   UNION ALL SELECT doc_id, 2, md5(h4::VARCHAR || ',' || h5::VARCHAR) FROM sig
   UNION ALL SELECT doc_id, 3, md5(h6::VARCHAR || ',' || h7::VARCHAR) FROM sig
 ),
+bbok AS (
+  SELECT band, bucket FROM bb GROUP BY 1, 2 HAVING count(*) <= {_CAP}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bb a JOIN bb b
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  JOIN bbok k ON k.band = a.band AND k.bucket = a.bucket
 ),
 ds AS (SELECT DISTINCT doc_id, s FROM sh),
 sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
@@ -117,7 +126,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(with_near_dup_copies(docs), min_jaccard=0.5)
 
 
-_SIMHASH_SQL = """
+_SIMHASH_SQL = f"""
 WITH all_docs AS (
   SELECT doc_id, text FROM documents
   UNION ALL
@@ -148,11 +157,15 @@ chunks AS (
   SELECT doc_id, simhash, ch, substr(simhash, ch * 16 + 1, 16) AS val
   FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS ch) cs
 ),
+chunkok AS (
+  SELECT ch, val FROM chunks GROUP BY 1, 2 HAVING count(*) <= {_CAP}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                   a.simhash AS sa, b.simhash AS sb
   FROM chunks a JOIN chunks b
     ON a.ch = b.ch AND a.val = b.val AND a.doc_id < b.doc_id
+  JOIN chunkok k ON k.ch = a.ch AND k.val = a.val
 )
 SELECT doc_a, doc_b, hamming FROM (
   SELECT doc_a, doc_b,

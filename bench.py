@@ -58,6 +58,7 @@ def _sf_label(path: str) -> str:
 
 
 def run_headline(spark, sf_dir: str) -> dict[str, float]:
+    from abs_log_spark import cache
     from abs_log_spark.queries import load_all
 
     reg = load_all()
@@ -67,6 +68,10 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.monotonic()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.monotonic() - t0, 3)
+        # release operator-persisted intermediates (dedup shingle/signature
+        # caches): the bench runs every query in ONE JVM, and un-owned
+        # caches would otherwise pile up in executor storage across queries
+        cache.release_all()
     return times
 
 
@@ -296,11 +301,14 @@ def main() -> int:
     # query happens to run first just adds noise)
     from abs_log_spark.queries import load_all
 
+    from abs_log_spark import cache
+
     reg = load_all()
     for name in HEADLINE:
         reg[name][0](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()
+        cache.release_all()
 
     t0 = time.monotonic()
     queries = run_headline(spark, SF_DIR)

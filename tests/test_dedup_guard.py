@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from abs_log_spark.functions.similarity import candidate_pairs, oversized_buckets
-from abs_log_spark.operators.dedup import minhash_lsh_pairs
+from abs_log_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
 
 
 def _buckets(spark, mega_members: int, normal: int = 6):
@@ -78,3 +78,80 @@ def test_minhash_cap_plumbs_through(spark):
     )
     assert len(handle) == 1
     handle[0].unpersist()
+
+
+def test_cache_registry_releases_persisted_intermediates(spark):
+    """Un-owned operator persists (no persisted_out) land in the session
+    cache registry; release_all() after materialization leaves NO cached
+    RDD behind — the bench loop's per-query hygiene."""
+    from abs_log_spark import cache
+    from abs_log_spark.operators.dedup import with_near_dup_copies
+
+    def storage_count():
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    cache.release_all()
+    before = storage_count()
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("one two three four five six seven word"),
+                 F.col("id")).alias("text"),
+    )
+    minhash_lsh_pairs(with_near_dup_copies(docs)).count()
+    simhash_pairs(with_near_dup_copies(docs)).count()
+    assert storage_count() > before  # the caches exist while un-released
+    released = cache.release_all()
+    assert released == 2
+    assert storage_count() <= before
+
+
+def _with_10k_cluster(spark):
+    """30 distinct docs + a 10,000-copy exact-dup cluster: identical minhash
+    signatures AND identical simhashes -> one mega bucket per band / chunk
+    position. Uncapped, either family would build a ~50M-pair array in one
+    row."""
+    docs = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha bravo charlie delta echo foxtrot golf hotel item"),
+            F.lit(" word"), F.col("id"),
+        ).alias("text"),
+    )
+    mega = spark.range(10_000).select(
+        (F.col("id") + 1000).alias("doc_id"),
+        F.lit("zulu yankee xray whiskey victor uniform tango sierra").alias("text"),
+    )
+    return docs.unionByName(mega)
+
+
+def test_default_cap_survives_10k_cluster_minhash(spark):
+    """The DEFAULT entry point (no explicit cap) must complete against a 10k
+    exact-dup cluster AND report what it skipped: 4 bands x one 10k-member
+    bucket."""
+    skipped: list = []
+    handle: list = []
+    pairs = minhash_lsh_pairs(
+        _with_10k_cluster(spark), persisted_out=handle, skipped_out=skipped
+    ).collect()
+    assert all(r.doc_a < 1000 and r.doc_b < 1000 for r in pairs)
+    assert len(skipped) == 1
+    rows = skipped[0].collect()
+    assert len(rows) == 4 and all(r.n_members == 10_000 for r in rows)
+    for h in handle:
+        h.unpersist()
+
+
+def test_default_cap_survives_10k_cluster_simhash(spark):
+    """Same adversarial input through the SimHash family: 4 chunk positions
+    x one 10k-member bucket skipped, query completes, skip counts surfaced."""
+    skipped: list = []
+    handle: list = []
+    pairs = simhash_pairs(
+        _with_10k_cluster(spark), persisted_out=handle, skipped_out=skipped
+    ).collect()
+    assert all(r.doc_a < 1000 and r.doc_b < 1000 for r in pairs)
+    assert len(skipped) == 1
+    rows = skipped[0].collect()
+    assert len(rows) == 4 and all(r.n_members == 10_000 for r in rows)
+    for h in handle:
+        h.unpersist()
