@@ -193,6 +193,86 @@ def ivf_probe_knn(
     )
 
 
+def _quantized_col(embedding):
+    """Embedding values quantized to 1e-4 as BIGINTs: centroid updates sum
+    these EXACT integers, so the mean is order-independent — the one place
+    naive double sums would diverge between engines (shuffle-order float
+    addition) lands on exact arithmetic instead."""
+    return F.transform(
+        embedding, lambda x: F.round(x.cast("double") * 10000).cast("long")
+    )
+
+
+def _kmeans_assign(emb: DataFrame, cents: dict[int, list[float]], dim: int) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared-L2 argmin, ties ->
+    lowest list id). Centroids are literal arrays (driver-held, n_lists x dim
+    doubles — bounded like any broadcast dim table); distance comparison uses
+    the monotone form argmax(x.c - 0.5*c.c) so both engines compute it from
+    the ONE float primitive already proven identical (sequential dot)."""
+    score_cols = []
+    for l in sorted(cents):
+        c = cents[l]
+        half_cc = 0.5 * sum(v * v for v in c)
+        score_cols.append(_dot_with_weights(F.col("embedding"), c) - F.lit(half_cc))
+    scores = F.array(*score_cols)
+    best = (
+        F.element_at(
+            F.transform(
+                F.array(scores), lambda sc: F.array_position(sc, F.array_max(sc))
+            ),
+            1,
+        )
+        - 1
+    )
+    lists = F.array(*[F.lit(l) for l in sorted(cents)])
+    assigned = F.element_at(lists, best.cast("int") + 1)
+    return emb.withColumn(
+        "ivf_list", _guard_dim(F.col("embedding"), assigned.cast("int"), dim)
+    )
+
+
+def kmeans_ivf_assign(
+    emb: DataFrame, n_lists: int = 8, iters: int = 2, dim: int = 64
+) -> DataFrame:
+    """IVF assignment with TRAINED centroids: fixed-iteration Lloyd k-means,
+    deterministically seeded (centroid l initialized from the embedding of
+    ``vec_id = l``), run as a DataFrame loop — the full IVF story
+    (:func:`centroid_ivf_assign` is the same routing shape with pseudo-
+    centroids).
+
+    Same fixed-iteration discipline as ``near_dup_clusters``: BOTH engines
+    (this and the DuckDB oracle) replay the identical ``iters`` update
+    rounds, so parity holds independent of convergence. Per round: one
+    distributed argmin assignment (no shuffle beyond the centroid-update
+    aggregate), one groupBy(n_lists) update whose per-dimension sums are
+    over 1e-4-quantized BIGINTs (exact, order-independent — see
+    ``_quantized_col``), then the tiny (n_lists x dim) centroid table is
+    collected to the driver and rebroadcast as literals, exactly how a
+    cluster k-means iterates. A list that loses all members keeps its
+    previous centroid (both engines see identical membership, so this is
+    deterministic too).
+    """
+    with_q = emb.withColumn("qv", _quantized_col(F.col("embedding")))
+    init = {
+        int(r.vec_id): [v / 10000.0 for v in r.qv]
+        for r in with_q.where(F.col("vec_id") < n_lists).select("vec_id", "qv").collect()
+    }
+    cents = dict(init)
+    for _ in range(iters):
+        assigned = _kmeans_assign(with_q, cents, dim)
+        upd = assigned.groupBy("ivf_list").agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.element_at("qv", d + 1)).alias(f"s{d}") for d in range(dim)],
+        )
+        new_cents = dict(cents)  # empty lists keep their previous centroid
+        for r in upd.collect():
+            new_cents[int(r.ivf_list)] = [
+                (r[f"s{d}"] / r.n) / 10000.0 for d in range(dim)
+            ]
+        cents = new_cents
+    return _kmeans_assign(emb, cents, dim)
+
+
 def centroid_ivf_assign(emb: DataFrame, n_lists: int = 16, dim: int = 64) -> DataFrame:
     """IVF-style list assignment with deterministic 'centroids': list id =
     argmax over n_lists of dot(embedding, pseudo-centroid(l)) where the

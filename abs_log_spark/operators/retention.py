@@ -40,7 +40,9 @@ def expire_summary(
     kept_df = df.where(F.col(ts_col) >= F.lit(cutoff))
     total = df.count()
     staging = f"_{table}_retention_staging"
-    cat.write(kept_df.coalesce(1), staging)
+    # preserve the day partition layout (time-range pruning) across rewrites
+    part = ("day",) if "day" in df.columns else ()
+    cat.write(kept_df.coalesce(1), staging, partition_by=part)
     kept = cat.read(spark, staging).count()
     cat.drop(table)
     os.replace(cat.path(staging), cat.path(table))
@@ -61,10 +63,14 @@ def expire_buckets(spark: SparkSession, cat: Catalog, buckets: list[str]) -> dic
     equivalent: partition DELETEs on the two data tables + checkpoint DELETE
     + the summary REPLACE, in one transaction group.
     """
-    from abs_log_spark.plans.checkpoint import CHECKPOINT_TABLE
-    from abs_log_spark.plans.pipeline import rebuild_summaries
+    from abs_log_spark.plans.checkpoint import CHECKPOINT_TABLE, filter_pending
+    from abs_log_spark.plans.pipeline import rebuild_summaries, subtract_compacted
 
     dropped = {"routed_partitions": 0, "partials_partitions": 0, "checkpoint_rows": 0}
+    # buckets folded into the consolidated partials partition have no own
+    # partition dir to drop: subtract their exact contribution instead —
+    # BEFORE the routed drop, which is the data the recompute reads
+    dropped["partials_subtracted"] = subtract_compacted(spark, cat, buckets)
     tables = [
         t for t in os.listdir(cat.root)
         if t.startswith("routed_") and os.path.isdir(cat.path(t))
@@ -75,7 +81,10 @@ def expire_buckets(spark: SparkSession, cat: Catalog, buckets: list[str]) -> dic
 
     if cat.exists(CHECKPOINT_TABLE):
         ck = cat.read(spark, CHECKPOINT_TABLE)
-        keep = ck.where(~F.col("partition_key").isin(*[str(b) for b in buckets]))
+        # same small-set/anti-join switch as resume's filter_pending:
+        # expiring thousands of buckets must not build a thousands-deep
+        # NOT-isin predicate chain (evaluated per row, never indexed)
+        keep = filter_pending(ck, {str(b) for b in buckets}, key_col="partition_key")
         n_total = ck.count()
         staging = "_checkpoint_retention_staging"
         cat.write(keep.coalesce(1), staging)

@@ -82,13 +82,21 @@ def fan_out_summary(cat: Catalog, name: str, summary: DataFrame) -> None:
     partitioned write + directory promote (no per-sink filter jobs —
     measured ~0.4s of scheduler overhead per tiny job). ``_sink`` duplicates
     ``sink`` purely to drive the directory layout while keeping the sink
-    column inside the data files."""
+    column inside the data files.
+
+    Summary tables are additionally partitioned by ``day = date(minute)`` so
+    time-ranged reports (``log_show --from/--to``) prune whole partition
+    directories at the scan instead of row-filtering a year of summaries —
+    the Iceberg days-transform stand-in. Invalid-line groups (null minute)
+    land in the null partition and are read back intact."""
     staging = f"_{name}staging"
     cat.drop(staging)
     cat.write(
-        summary.withColumn("_sink", F.col("sink")).repartition(F.col("_sink")),
+        summary.withColumn("_sink", F.col("sink"))
+        .withColumn("day", F.to_date("minute"))
+        .repartition(F.col("_sink")),
         staging,
-        partition_by=("_sink",),
+        partition_by=("_sink", "day"),
     )
     cat.promote_sink_tables(staging, name)
 
@@ -111,18 +119,181 @@ def missing_partials_buckets(cat: Catalog, exclude: set[str] = frozenset()) -> s
     return routed - have - set(exclude)
 
 
+#: agg_partials partition id holding compacted history. Real buckets are
+#: non-negative (hash buckets), so -1 can never collide with live lineage.
+CONSOLIDATED_BUCKET = -1
+
+_MANIFEST = "_compacted_buckets.json"
+
+
 def compacted_buckets(cat: Catalog) -> set[str]:
     """Buckets whose partials were folded into the consolidated partition by
-    :func:`compact_partials` — recorded in the ``compacted_buckets`` manifest
-    (tiny parquet), read here via its partition-style dir listing twin kept
-    as a flat file for simplicity."""
+    :func:`compact_partials` — recorded in a tiny JSON manifest (the parquet
+    stand-in for an Iceberg snapshot property)."""
     import json
 
-    p = os.path.join(cat.root, "_compacted_buckets.json")
+    p = os.path.join(cat.root, _MANIFEST)
     if not os.path.exists(p):
         return set()
     with open(p) as f:
         return set(json.load(f))
+
+
+def _save_compacted(cat: Catalog, buckets: set[str]) -> None:
+    import json
+
+    with open(os.path.join(cat.root, _MANIFEST), "w") as f:
+        json.dump(sorted(buckets), f)
+
+
+def routed_union(
+    spark: SparkSession,
+    cat: Catalog,
+    sinks: list[str],
+    bucket_filter: list[str] | None = None,
+) -> DataFrame | None:
+    """Union of the per-sink routed tables, pruned to the summary-feeding
+    columns (parquet column pruning keeps token arrays unread) and — when
+    ``bucket_filter`` is given — to those partition directories only
+    (PartitionFilters at the scan; completed buckets are never opened)."""
+    parts = []
+    for sink in sinks:
+        tbl = f"routed_{sink}"
+        if not cat.exists(tbl):
+            continue
+        r = cat.read(spark, tbl)
+        if bucket_filter is not None:
+            r = r.where(F.col("part_bucket").isin([int(b) for b in bucket_filter]))
+        parts.append(
+            r.withColumn("sink", F.lit(sink)).select(
+                "sink", "site", "ts", "uri_abs", "rt", "bytes", "status",
+                "valid", "part_bucket",
+            )
+        )
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def routed_sinks(cat: Catalog) -> list[str]:
+    """Sinks with a routed table on disk (directory listing, no Spark job)."""
+    if not os.path.isdir(cat.root):
+        return []
+    return sorted(
+        t[len("routed_"):]
+        for t in os.listdir(cat.root)
+        if t.startswith("routed_") and os.path.isdir(cat.path(t))
+    )
+
+
+_PARTIAL_MEASURES = ("pv", "bytes_sum", "rt_cnt", "err_hits", "invalid_hits")
+
+
+def compact_partials(
+    spark: SparkSession, cat: Catalog, buckets: list[str] | None = None
+) -> dict:
+    """Fold per-bucket ``agg_partials`` partitions into ONE consolidated
+    partition (``part_bucket = -1``), keeping ``rebuild_summaries``' per-run
+    fold O(live keys) instead of O(keys x all retained buckets).
+
+    The partials grain includes ``part_bucket`` only for idempotent bucket
+    re-runs; once a bucket is past its re-run horizon (the caller's policy —
+    e.g. older than the resume window), that lineage is dead weight: a year
+    of 5-minute increments at 10^12-row scale leaves ~10^5 bucket partitions
+    whose rows the per-run fold re-reads every time. Compaction collapses
+    them by the same merge the summaries use (the measures are sums — the
+    histogram stays lossless, exact quantiles survive), so summaries are
+    bit-identical before and after (pytest-verified).
+
+    Compacted buckets are recorded in a manifest; :func:`expire_buckets`
+    SUBTRACTS an expired compacted bucket's contribution (recomputed from
+    its still-present routed partition) instead of dropping a partition
+    dir, and a re-ingested bucket (checkpoint cleared) simply writes its
+    own partition again. Returns counts; no-op if nothing to compact.
+    """
+    have = cat.partition_values("agg_partials")
+    live = have - {str(CONSOLIDATED_BUCKET)}
+    to_compact = live if buckets is None else (live & {str(b) for b in buckets})
+    if not to_compact:
+        return {"buckets_compacted": 0}
+    read_set = sorted(to_compact | (have & {str(CONSOLIDATED_BUCKET)}))
+    partials = cat.read(spark, "agg_partials").where(
+        F.col("part_bucket").isin([int(b) for b in read_set])
+    )
+    grain = [c for c in partials.columns if c not in (*_PARTIAL_MEASURES, "part_bucket")]
+    folded = (
+        partials.groupBy(*grain)
+        .agg(*[F.sum(m).cast("long").alias(m) for m in _PARTIAL_MEASURES])
+        .withColumn("part_bucket", F.lit(CONSOLIDATED_BUCKET))
+    )
+    # write-then-swap: the fold READS the partitions it replaces, so it must
+    # fully materialize in staging before any directory is touched
+    staging = "_partials_compact_staging"
+    cat.drop(staging)
+    cat.write(folded, staging, partition_by=("part_bucket",))
+    for b in read_set:
+        p = os.path.join(cat.path("agg_partials"), f"part_bucket={b}")
+        if os.path.isdir(p):
+            import shutil
+
+            shutil.rmtree(p)
+    src = os.path.join(cat.path(staging), f"part_bucket={CONSOLIDATED_BUCKET}")
+    os.replace(src, os.path.join(cat.path("agg_partials"), f"part_bucket={CONSOLIDATED_BUCKET}"))
+    cat.drop(staging)
+    _save_compacted(cat, compacted_buckets(cat) | to_compact)
+    return {"buckets_compacted": len(to_compact)}
+
+
+def subtract_compacted(spark: SparkSession, cat: Catalog, victims: list[str]) -> int:
+    """Remove expired buckets' contribution from the CONSOLIDATED partials
+    partition. Their per-bucket partitions no longer exist (compaction folded
+    them), but every partial measure is an exact integer sum over a
+    deterministic recompute of the bucket's routed partition — so expiry
+    recomputes the victims' partials from routed (still on disk at this
+    point), NEGATES the measures, merges, and drops fully-cancelled rows.
+    Must run BEFORE the routed partition drop. Returns victim count."""
+    victims = sorted(set(map(str, victims)) & compacted_buckets(cat))
+    if not victims:
+        return 0
+    from abs_log_spark.operators.aggregate import minute_agg_hist_partials
+
+    cons = cat.read(spark, "agg_partials").where(
+        F.col("part_bucket") == CONSOLIDATED_BUCKET
+    )
+    vr = routed_union(spark, cat, routed_sinks(cat), bucket_filter=victims)
+    if vr is not None:
+        neg = minute_agg_hist_partials(vr).select(
+            *[c for c in cons.columns if c not in (*_PARTIAL_MEASURES, "part_bucket")],
+            *[(-F.col(m)).alias(m) for m in _PARTIAL_MEASURES],
+            F.lit(CONSOLIDATED_BUCKET).alias("part_bucket"),
+        )
+        grain = [c for c in cons.columns if c not in (*_PARTIAL_MEASURES, "part_bucket")]
+        merged = (
+            cons.unionByName(neg)
+            .groupBy(*grain)
+            .agg(*[F.sum(m).cast("long").alias(m) for m in _PARTIAL_MEASURES])
+            # a fully-cancelled group has every exact counter at zero
+            .where(" or ".join(f"{m} != 0" for m in _PARTIAL_MEASURES))
+            .withColumn("part_bucket", F.lit(CONSOLIDATED_BUCKET))
+        )
+        staging = "_partials_subtract_staging"
+        cat.drop(staging)
+        cat.write(merged, staging, partition_by=("part_bucket",))
+        dst = os.path.join(
+            cat.path("agg_partials"), f"part_bucket={CONSOLIDATED_BUCKET}"
+        )
+        import shutil
+
+        shutil.rmtree(dst, ignore_errors=True)
+        src = os.path.join(cat.path(staging), f"part_bucket={CONSOLIDATED_BUCKET}")
+        if os.path.isdir(src):  # everything cancelled -> partition vanishes
+            os.replace(src, dst)
+        cat.drop(staging)
+    _save_compacted(cat, compacted_buckets(cat) - set(victims))
+    return len(victims)
 
 
 def rebuild_summaries(spark: SparkSession, cat: Catalog) -> bool:
@@ -250,31 +421,6 @@ def run_pipeline(
     # full (cfg.incremental_agg=False): recompute from all routed tables;
     # parquet column pruning keeps it off the token arrays. Kept as the
     # equivalence baseline — both paths must produce identical summaries.
-    def _routed_union(bucket_filter: list[str] | None) -> DataFrame | None:
-        parts = []
-        for sink in sinks:
-            tbl = f"routed_{sink}"
-            if not cat.exists(tbl):
-                continue
-            r = cat.read(spark, tbl)
-            if bucket_filter is not None:
-                # partition column -> this predicate prunes whole bucket
-                # directories at the scan (PartitionFilters, zero data read
-                # from completed buckets)
-                r = r.where(F.col("part_bucket").isin([int(b) for b in bucket_filter]))
-            parts.append(
-                r.withColumn("sink", F.lit(sink)).select(
-                    "sink", "site", "ts", "uri_abs", "rt", "bytes", "status",
-                    "valid", "part_bucket",
-                )
-            )
-        if not parts:
-            return None
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
-
     if cfg.incremental_agg:
         # Heal partials gaps BEFORE folding summaries: buckets present in
         # routed history but absent from agg_partials (a crash inside the
@@ -286,7 +432,7 @@ def run_pipeline(
         backfill = missing_partials_buckets(cat, exclude=set(buckets))
         agg_buckets = sorted(set(buckets) | backfill)
         if agg_buckets:
-            inc = _routed_union(bucket_filter=agg_buckets)
+            inc = routed_union(spark, cat, sinks, bucket_filter=agg_buckets)
             if inc is not None:
                 inc = metrics.observe_agg_input(inc)
                 # distinct from the streaming 'minute_agg_partials' table:
@@ -301,7 +447,7 @@ def run_pipeline(
         metrics.mark("aggregate")
     else:
         backfill = set()
-        allr = _routed_union(bucket_filter=None)
+        allr = routed_union(spark, cat, sinks, bucket_filter=None)
         if allr is not None:
             fan_out_summary(
                 cat, "minute_agg_", minute_agg(allr, exact_quantiles=cfg.exact_quantiles)

@@ -12,6 +12,7 @@ from abs_log_spark.operators.ann import (
     brute_force_knn,
     centroid_ivf_assign,
     ivf_probe_knn,
+    kmeans_ivf_assign,
     lsh_bucket_knn,
 )
 from abs_log_spark.queries import register
@@ -159,6 +160,74 @@ def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     same dot products (ties: first max wins = lowest l on both sides)."""
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     assigned = centroid_ivf_assign(emb, n_lists=16)
+    return assigned.groupBy("ivf_list").agg(
+        F.count("*").alias("n_vectors"),
+        F.min("vec_id").cast("long").alias("min_vec_id"),
+    )
+
+
+#: One k-means assignment round as a SQL fragment: argmin squared-L2 in the
+#: monotone form argmax(x.c - 0.5*c.c) — ONLY list_dot_product, the float
+#: primitive already proven bit-identical to Spark's sequential fold.
+def _KM_ASSIGN(name: str, src: str, cents: str) -> str:
+    return f"""{name} AS (
+  SELECT vec_id, l AS ivf_list, qv FROM (
+    SELECT s.vec_id, c.l, s.qv,
+           row_number() OVER (PARTITION BY s.vec_id
+             ORDER BY (list_dot_product(s.ev, c.cv)
+                       - 0.5 * list_dot_product(c.cv, c.cv)) DESC, c.l) AS rn
+    FROM {src} s CROSS JOIN {cents} c
+  ) WHERE rn = 1
+)"""
+
+
+def _KM_UPDATE(m: str, c: str, assign: str, prev: str) -> str:
+    return f"""{m} AS (
+  SELECT ivf_list AS l, ds.d,
+         CAST(sum(qv[ds.d]) AS DOUBLE) / count(*) / 10000.0 AS cv1
+  FROM {assign} CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) ds
+  GROUP BY 1, 2
+),
+{c} AS (
+  SELECT l, list(cv1 ORDER BY ds_d) AS cv
+  FROM (SELECT l, d AS ds_d, cv1 FROM {m}) GROUP BY 1
+  UNION ALL
+  SELECT l, cv FROM {prev} WHERE l NOT IN (SELECT l FROM {m})
+)"""
+
+
+_KMEANS_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+q AS (
+  SELECT vec_id, ev,
+         list_transform(ev, x -> CAST(round(x * 10000) AS BIGINT)) AS qv
+  FROM e
+),
+c0 AS (
+  SELECT CAST(vec_id AS INT) AS l, list_transform(qv, v -> v / 10000.0) AS cv
+  FROM q WHERE vec_id < 8
+),
+{_KM_ASSIGN('a1', 'q', 'c0')},
+{_KM_UPDATE('m1', 'c1', 'a1', 'c0')},
+{_KM_ASSIGN('a2', 'q', 'c1')},
+{_KM_UPDATE('m2', 'c2', 'a2', 'c1')},
+{_KM_ASSIGN('a3', 'q', 'c2')}
+SELECT CAST(ivf_list AS INT) AS ivf_list,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(min(vec_id) AS BIGINT) AS min_vec_id
+FROM a3 GROUP BY 1
+"""
+
+
+@register("ann_ivf_kmeans_assign", _KMEANS_SQL)
+def ann_ivf_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF assignment with TRAINED centroids: 2 fixed Lloyd iterations,
+    seeded from the embeddings of vec_id < 8, centroid means over
+    1e-4-quantized integer sums (exact, shuffle-order-independent). The
+    oracle replays the IDENTICAL two iterations in SQL — parity proves the
+    distributed train/assign loop bit-exact, independent of convergence."""
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned = kmeans_ivf_assign(emb, n_lists=8, iters=2)
     return assigned.groupBy("ivf_list").agg(
         F.count("*").alias("n_vectors"),
         F.min("vec_id").cast("long").alias("min_vec_id"),

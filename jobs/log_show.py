@@ -143,10 +143,20 @@ def main(argv: list[str] | None = None) -> int:
         return 2
     df = cat.read(spark, table)
     ts_col = "ts" if args.view in ("detail", "ip") else "minute"
+    # summary tables are partitioned by day: the coarse day predicate prunes
+    # whole partition directories at the scan (PartitionFilters), the minute
+    # predicate then row-filters inside the boundary days only
+    has_day = "day" in df.columns
     if args.t_from:
-        df = df.where(F.col(ts_col) >= F.lit(_parse_ymdhm(args.t_from)))
+        t0 = _parse_ymdhm(args.t_from)
+        df = df.where(F.col(ts_col) >= F.lit(t0))
+        if has_day:
+            df = df.where(F.col("day") >= F.lit(t0.date()))
     if args.t_to:
-        df = df.where(F.col(ts_col) < F.lit(_parse_ymdhm(args.t_to)))
+        t1 = _parse_ymdhm(args.t_to)
+        df = df.where(F.col(ts_col) < F.lit(t1))
+        if has_day:
+            df = df.where(F.col("day") <= F.lit(t1.date()))
 
     out = build_view(df, args.view, sink=args.sink, uri=args.uri,
                      limit=args.limit, group_by=args.group_by, pivot=args.pivot)

@@ -1,0 +1,128 @@
+"""Partials compaction: the per-run summary fold stays O(live keys) while
+summaries remain bit-identical, and expiry/resume stay in lockstep with the
+consolidated partition."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from abs_log_spark.plans.pipeline import (
+    CONSOLIDATED_BUCKET,
+    compact_partials,
+    compacted_buckets,
+    rebuild_summaries,
+    run_pipeline,
+)
+from abs_log_spark.sources.synth import gen_sequences, gen_sources_dim
+
+N = 600
+SINKS = ("sink_a", "sink_b", "sink_c")
+
+
+def _summaries(spark, cat):
+    out = {}
+    for s in SINKS:
+        for kind in ("minute_agg_", "errors_"):
+            t = f"{kind}{s}"
+            if not cat.exists(t):
+                continue
+            df = cat.read(spark, t)
+            out[t] = sorted(
+                tuple(
+                    round(v, 9) if isinstance(v, float) else str(v)
+                    for v in r
+                )
+                for r in df.collect()
+            )
+    return out
+
+
+def test_compaction_preserves_summaries_and_shrinks_fold(spark, tmp_catalog):
+    seq = gen_sequences(spark, N, invalid_every=10)
+    dim = gen_sources_dim(spark)
+    run_pipeline(spark, tmp_catalog, seq, dim, run_id="r1")
+    snap = _summaries(spark, tmp_catalog)
+    rows_before = tmp_catalog.read(spark, "agg_partials").count()
+    parts_before = tmp_catalog.partition_values("agg_partials")
+    assert len(parts_before) == 8
+
+    res = compact_partials(spark, tmp_catalog)
+    assert res["buckets_compacted"] == 8
+    # the fold input is now ONE partition with fewer rows (cross-bucket
+    # groups merged — at minimum the 8 per-bucket invalid-line rows per sink
+    # collapse to one)
+    assert tmp_catalog.partition_values("agg_partials") == {str(CONSOLIDATED_BUCKET)}
+    rows_after = tmp_catalog.read(spark, "agg_partials").count()
+    assert rows_after < rows_before
+    assert compacted_buckets(tmp_catalog) == parts_before
+
+    rebuild_summaries(spark, tmp_catalog)
+    assert _summaries(spark, tmp_catalog) == snap
+
+    # compacting again is a no-op
+    assert compact_partials(spark, tmp_catalog) == {"buckets_compacted": 0}
+
+
+def test_compaction_then_incremental_resume(spark, tmp_catalog, tmp_path):
+    """New increments after compaction write their own partitions; the fold
+    merges consolidated + live partials into exactly the full-history
+    summaries."""
+    from abs_log_spark.catalog import Catalog
+    from abs_log_spark.plans.pipeline import PipelineConfig
+
+    seq = gen_sequences(spark, N, invalid_every=10)
+    dim = gen_sources_dim(spark)
+    half = seq.where(F.col("part_bucket") < 4)
+    run_pipeline(spark, tmp_catalog, half, dim, run_id="r1")
+    compact_partials(spark, tmp_catalog)
+
+    r2 = run_pipeline(spark, tmp_catalog, seq, dim, run_id="r2")
+    # compacted buckets are NOT treated as missing partials (manifest)
+    assert r2["buckets_processed"] == 4 and r2["buckets_backfilled"] == 0
+    assert tmp_catalog.partition_values("agg_partials") == {
+        str(CONSOLIDATED_BUCKET), "4", "5", "6", "7"
+    }
+
+    full_cat = Catalog(root=str(tmp_path / "wh_full"))
+    run_pipeline(spark, full_cat, seq, dim, run_id="full",
+                 cfg=PipelineConfig(resume=False, incremental_agg=False,
+                                    exact_quantiles=True))
+    assert _summaries(spark, tmp_catalog) == _summaries(spark, full_cat)
+
+
+def test_expire_compacted_bucket_subtracts_exactly(spark, tmp_catalog):
+    """Expiring a bucket whose partials were folded away must subtract its
+    exact contribution from the consolidated partition — summaries equal
+    'never ingested it', and a re-ingest restores everything."""
+    from abs_log_spark.operators.retention import expire_buckets
+    from abs_log_spark.plans.pipeline import transform
+
+    seq = gen_sequences(spark, N, invalid_every=10)
+    dim = gen_sources_dim(spark)
+    run_pipeline(spark, tmp_catalog, seq, dim, run_id="r1")
+    pv_all = sum(
+        tmp_catalog.read(spark, f"minute_agg_{s}").agg(F.sum("pv")).collect()[0][0]
+        for s in SINKS if tmp_catalog.exists(f"minute_agg_{s}")
+    )
+    compact_partials(spark, tmp_catalog)
+
+    res = expire_buckets(spark, tmp_catalog, ["0", "1"])
+    assert res["partials_subtracted"] == 2
+    assert res["partials_partitions"] == 0  # no per-bucket dirs existed
+    assert compacted_buckets(tmp_catalog) == {"2", "3", "4", "5", "6", "7"}
+    valid_expired = transform(seq.where("part_bucket < 2"), dim).where("valid").count()
+    pv_after = sum(
+        tmp_catalog.read(spark, f"minute_agg_{s}").agg(F.sum("pv")).collect()[0][0]
+        for s in SINKS if tmp_catalog.exists(f"minute_agg_{s}")
+    )
+    assert valid_expired > 0 and pv_after == pv_all - valid_expired
+
+    # re-ingest: checkpoint was cleared, the buckets reprocess into their own
+    # (live) partitions and the fold restores the full totals
+    r2 = run_pipeline(spark, tmp_catalog, seq, dim, run_id="r2")
+    assert r2["buckets_processed"] == 2
+    pv_back = sum(
+        tmp_catalog.read(spark, f"minute_agg_{s}").agg(F.sum("pv")).collect()[0][0]
+        for s in SINKS if tmp_catalog.exists(f"minute_agg_{s}")
+    )
+    assert pv_back == pv_all

@@ -141,6 +141,66 @@ def test_expire_buckets_keeps_all_state_consistent(spark, tmp_catalog):
     assert pv_back == pv_all
 
 
+def test_summary_tables_day_partitioned_and_pruned(spark, tmp_catalog):
+    """Summary tables carry a day=date(minute) partition: a time-ranged
+    report prunes whole partition directories (PartitionFilters) instead of
+    row-filtering all summary files; null-minute invalid groups survive the
+    round trip in the null partition."""
+    import datetime
+
+    from abs_log_spark.plans.pipeline import run_pipeline
+    from abs_log_spark.sources.synth import gen_sequences, gen_sources_dim
+
+    seq = gen_sequences(spark, 600, invalid_every=10)
+    dim = gen_sources_dim(spark)
+    run_pipeline(spark, tmp_catalog, seq, dim, run_id="r1")
+
+    df = tmp_catalog.read(spark, "minute_agg_sink_a")
+    assert "day" in df.columns
+    # layout on disk: day= dirs under the table root
+    import os
+
+    assert any(
+        d.startswith("day=") for d in os.listdir(tmp_catalog.path("minute_agg_sink_a"))
+    )
+    ranged = df.where(F.col("day") >= F.lit(datetime.date(2024, 1, 1)))
+    plan = ranged._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "day" in plan.split("PartitionFilters", 1)[1][:220]
+    # invalid-line group (null minute -> null day partition) is intact
+    inv = sum(
+        tmp_catalog.read(spark, f"minute_agg_{s}")
+        .where(F.col("minute").isNull())
+        .agg(F.coalesce(F.sum("invalid_hits"), F.lit(0))).first()[0]
+        for s in ("sink_a", "sink_b", "sink_c")
+        if tmp_catalog.exists(f"minute_agg_{s}")
+    )
+    assert inv == 600 // 10
+
+
+def test_expire_checkpoint_rewrite_uses_anti_join_above_threshold(spark, tmp_catalog):
+    """Expiring thousands of buckets must not build a thousands-deep NOT-isin
+    chain over the checkpoint: above ISIN_MAX_KEYS the rewrite plans a
+    broadcast anti-join (same switch as resume's filter_pending)."""
+    from abs_log_spark.operators.retention import expire_buckets
+    from abs_log_spark.plans.checkpoint import ISIN_MAX_KEYS, filter_pending
+    from abs_log_spark.plans import checkpoint as ckpt
+
+    n = ISIN_MAX_KEYS + 36
+    ckpt.mark_done(spark, tmp_catalog, "r1", "routed", [str(k) for k in range(n + 5)])
+    # plan evidence on the exact expression expire_buckets uses
+    ck = tmp_catalog.read(spark, ckpt.CHECKPOINT_TABLE)
+    keep = filter_pending(ck, {str(k) for k in range(n)}, key_col="partition_key")
+    plan = keep._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    # end-to-end: the rewrite keeps exactly the unexpired rows
+    res = expire_buckets(spark, tmp_catalog, [str(k) for k in range(n)])
+    assert res["checkpoint_rows"] == n
+    assert ckpt.completed_partitions(spark, tmp_catalog, "routed") == {
+        str(k) for k in range(n, n + 5)
+    }
+
+
 def test_expire_routed_buckets(spark, tmp_catalog):
     df = spark.range(100).select(
         F.col("id"), (F.col("id") % 4).cast("int").alias("part_bucket")
