@@ -97,8 +97,15 @@ def minhash_lsh_pairs(
         (persisted_out if persisted_out is not None else cache._TRACKED).append(docs_sh)
     sig = minhash_signature_arr(docs_sh)
     bb = band_buckets(sig)
-    if skipped_out is not None and max_bucket_size is not None:
-        skipped_out.append(oversized_buckets(bb, max_bucket_size))
+    if max_bucket_size is not None:
+        # the cap adds a second consumer (count pre-pass) and optionally a
+        # third (skipped_out): persist the tiny (doc_id, band, bucket)
+        # relation or every branch re-derives the signatures from shingles
+        # (measured 1.5x the whole query). Same lifecycle as docs_sh.
+        bb = bb.persist()
+        (persisted_out if persisted_out is not None else cache._TRACKED).append(bb)
+        if skipped_out is not None:
+            skipped_out.append(oversized_buckets(bb, max_bucket_size))
     cand = candidate_pairs(bb, max_bucket_size)
     jac = jaccard_from_arrays(cand, docs_sh)
     return jac.where(F.col("jaccard") >= min_jaccard)
@@ -165,8 +172,13 @@ def simhash_pairs(
             ])
         ).alias("cb"),
     ).select("doc_id", "cb.band", "cb.bucket")
-    if skipped_out is not None and max_bucket_size is not None:
-        skipped_out.append(oversized_buckets(chunks, max_bucket_size))
+    if max_bucket_size is not None:
+        # same as minhash: the count pre-pass is a second consumer of the
+        # chunk relation — persist it rather than re-exploding per branch
+        chunks = chunks.persist()
+        (persisted_out if persisted_out is not None else cache._TRACKED).append(chunks)
+        if skipped_out is not None:
+            skipped_out.append(oversized_buckets(chunks, max_bucket_size))
     cand = candidate_pairs(chunks, max_bucket_size)
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))

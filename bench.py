@@ -36,6 +36,10 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 #: bench pipeline input rows, scaled off the sf dir (sf0.1 -> 2M rows).
 PIPELINE_ROWS = {"sf0.001": 20_000, "sf0.01": 200_000, "sf0.1": 2_000_000}
 
+#: Every engine subsystem carries a tracked round-over-round number:
+#: batch pipeline, classic aggs/joins/topN, all dedup families, ANN
+#: (brute/IVF/k-means), text, curation (sampling/packing/clusters/PII/
+#: composition), multimodal plumbing, and BOTH streaming paths.
 HEADLINE = [
     "pipeline_e2e_minute_agg",
     "events_minute_agg",
@@ -47,9 +51,17 @@ HEADLINE = [
     "dedup_exact_md5",
     "ann_knn_bruteforce",
     "ann_ivf_search",
+    "ann_ivf_kmeans_assign",
     "text_stats_quality",
     "sessionize_events",
     "multimodal_frame_sample",
+    "curation_pipeline",
+    "curation_sample_stratified",
+    "curation_pack_bins",
+    "curation_dup_clusters",
+    "curation_pii_scrub",
+    "streaming_minute_agg_fb",
+    "streaming_windowed_agg",
 ]
 
 

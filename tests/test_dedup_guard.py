@@ -76,8 +76,9 @@ def test_minhash_cap_plumbs_through(spark):
     assert sorted(map(tuple, capped)) == sorted(
         tuple(r) for r in uncapped if r.doc_a < 1000
     )
-    assert len(handle) == 1
-    handle[0].unpersist()
+    assert len(handle) == 2  # shingle relation + band-bucket relation
+    for h in handle:
+        h.unpersist()
 
 
 def test_cache_registry_releases_persisted_intermediates(spark):
@@ -101,7 +102,7 @@ def test_cache_registry_releases_persisted_intermediates(spark):
     simhash_pairs(with_near_dup_copies(docs)).count()
     assert storage_count() > before  # the caches exist while un-released
     released = cache.release_all()
-    assert released == 2
+    assert released == 4  # shingles + band buckets, signatures + chunks
     assert storage_count() <= before
 
 
