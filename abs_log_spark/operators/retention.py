@@ -31,21 +31,59 @@ def expire_summary(
 ) -> dict:
     """Delete rows with ``ts_col < cutoff`` from a summary table.
 
-    Returns {"kept": n, "dropped": n}. Equivalent Iceberg statement:
+    Rows with a NULL ``ts_col`` — the invalid-line group, which has no
+    timestamp to age — are KEPT: the engine's rows-are-never-silently-
+    dropped invariant (P3) extends to retention.
+
+    Scale path: on a day-partitioned table, every day directory strictly
+    older than the cutoff's date is dropped as a pure file/metadata
+    operation (Iceberg partition DELETE); only the boundary day (plus any
+    unpartitioned layout) is row-rewritten. Returns {"kept", "dropped"}.
+    Equivalent Iceberg statement:
     ``DELETE FROM {table} WHERE {ts_col} < TIMESTAMP '{cutoff}'``.
     """
+    import shutil
+    from datetime import datetime
+
     if not cat.exists(table):
         return {"kept": 0, "dropped": 0}
-    df = cat.read(spark, table)
-    kept_df = df.where(F.col(ts_col) >= F.lit(cutoff))
-    total = df.count()
+    total = cat.read(spark, table).count()
+    cutoff_date = datetime.fromisoformat(str(cutoff)).date()
+    root = cat.path(table)
+    for d in os.listdir(root):
+        if not d.startswith("day="):
+            continue
+        val = d.split("=", 1)[1]
+        # the null partition (invalid-line groups) never ages out
+        if val.startswith("__"):
+            continue
+        if datetime.fromisoformat(val).date() < cutoff_date:
+            shutil.rmtree(os.path.join(root, d))
+    if not cat.exists(table):  # every day dir aged out
+        cat.drop(table)
+        return {"kept": 0, "dropped": total}
+    df = cat.read(spark, table)  # re-read: whole-day drops already applied
+    keep_pred = F.col(ts_col).isNull() | (F.col(ts_col) >= F.lit(cutoff))
     staging = f"_{table}_retention_staging"
-    # preserve the day partition layout (time-range pruning) across rewrites
-    part = ("day",) if "day" in df.columns else ()
-    cat.write(kept_df.coalesce(1), staging, partition_by=part)
-    kept = cat.read(spark, staging).count()
-    cat.drop(table)
-    os.replace(cat.path(staging), cat.path(table))
+    if "day" in df.columns:
+        # only the BOUNDARY day needs a row rewrite; every other surviving
+        # day directory is untouched (no read, no write)
+        bdir = os.path.join(root, f"day={cutoff_date.isoformat()}")
+        if os.path.isdir(bdir):
+            boundary = df.where(F.col("day") == F.lit(cutoff_date)).where(keep_pred)
+            cat.drop(staging)
+            cat.write(boundary.coalesce(1), staging, partition_by=("day",))
+            shutil.rmtree(bdir)
+            src = os.path.join(cat.path(staging), f"day={cutoff_date.isoformat()}")
+            if os.path.isdir(src):  # boundary day may empty out entirely
+                os.replace(src, bdir)
+            cat.drop(staging)
+        kept = cat.read(spark, table).count() if cat.exists(table) else 0
+    else:
+        cat.write(df.where(keep_pred).coalesce(1), staging)
+        kept = cat.read(spark, staging).count()
+        cat.drop(table)
+        os.replace(cat.path(staging), cat.path(table))
     return {"kept": kept, "dropped": total - kept}
 
 

@@ -75,6 +75,14 @@ class PipelineConfig:
     #: False = recompute summaries from all routed tables (the simple path,
     #: kept for equivalence testing; cost grows with total history).
     incremental_agg: bool = True
+    #: steady-state partials hygiene: after the summaries are rebuilt, fold
+    #: every completed bucket's partials into the consolidated partition
+    #: (see compact_partials) so the NEXT run's fold input is one
+    #: consolidated partition + that run's increment — O(live keys) forever,
+    #: instead of growing with retained buckets. Safe because a checkpointed
+    #: bucket only ever changes via expiry (which subtracts) or re-ingest
+    #: (which rewrites its own partition).
+    auto_compact: bool = False
 
 
 def fan_out_summary(cat: Catalog, name: str, summary: DataFrame) -> None:
@@ -444,6 +452,8 @@ def run_pipeline(
                     partition_by=("part_bucket",),
                 )
         rebuild_summaries(spark, cat)
+        if cfg.auto_compact:
+            compact_partials(spark, cat)
         metrics.mark("aggregate")
     else:
         backfill = set()

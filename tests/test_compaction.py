@@ -90,6 +90,29 @@ def test_compaction_then_incremental_resume(spark, tmp_catalog, tmp_path):
     assert _summaries(spark, tmp_catalog) == _summaries(spark, full_cat)
 
 
+def test_auto_compact_pipeline_mode(spark, tmp_catalog, tmp_path):
+    """cfg.auto_compact: every run leaves agg_partials as ONE consolidated
+    partition, and summaries still equal the full recompute across resumed
+    increments — the steady-state O(live keys) fold, production-wired."""
+    from abs_log_spark.catalog import Catalog
+    from abs_log_spark.plans.pipeline import PipelineConfig
+
+    seq = gen_sequences(spark, N, invalid_every=10)
+    dim = gen_sources_dim(spark)
+    cfg = PipelineConfig(auto_compact=True)
+    half = seq.where(F.col("part_bucket") < 4)
+    run_pipeline(spark, tmp_catalog, half, dim, run_id="r1", cfg=cfg)
+    assert tmp_catalog.partition_values("agg_partials") == {str(CONSOLIDATED_BUCKET)}
+    run_pipeline(spark, tmp_catalog, seq, dim, run_id="r2", cfg=cfg)
+    assert tmp_catalog.partition_values("agg_partials") == {str(CONSOLIDATED_BUCKET)}
+
+    full_cat = Catalog(root=str(tmp_path / "wh_full"))
+    run_pipeline(spark, full_cat, seq, dim, run_id="full",
+                 cfg=PipelineConfig(resume=False, incremental_agg=False,
+                                    exact_quantiles=True))
+    assert _summaries(spark, tmp_catalog) == _summaries(spark, full_cat)
+
+
 def test_expire_compacted_bucket_subtracts_exactly(spark, tmp_catalog):
     """Expiring a bucket whose partials were folded away must subtract its
     exact contribution from the consolidated partition — summaries equal

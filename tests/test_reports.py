@@ -92,6 +92,38 @@ def test_expire_summary(spark, tmp_catalog):
     assert remaining.agg(F.min("pv")).first()[0] == 40
 
 
+def test_expire_summary_day_partitioned(spark, tmp_catalog):
+    """Day-partitioned retention: whole sub-cutoff day dirs drop as file
+    ops, ONLY the boundary day is rewritten (newer day files untouched),
+    and null-minute invalid groups never age out (P3 invariant)."""
+    import os
+
+    rows = []
+    for day in (1, 2, 3):
+        for h in (6, 18):
+            rows.append((f"2024-01-0{day} {h:02d}:00:00", day * 100 + h))
+    df = (
+        spark.createDataFrame(rows, "minute string, pv long")
+        .withColumn("minute", F.to_timestamp("minute"))
+        .unionByName(
+            spark.createDataFrame([(None, 7)], "minute string, pv long")
+            .withColumn("minute", F.to_timestamp("minute"))
+        )
+        .withColumn("day", F.to_date("minute"))
+    )
+    tmp_catalog.write(df, "minute_agg_x", partition_by=("day",))
+    newer = os.path.join(tmp_catalog.path("minute_agg_x"), "day=2024-01-03")
+    files_before = sorted(os.listdir(newer))
+
+    res = expire_summary(spark, tmp_catalog, "minute_agg_x", "2024-01-02 12:00:00")
+    assert res == {"kept": 4, "dropped": 3}  # 2 on day3, 1 boundary, 1 null kept
+    root = tmp_catalog.path("minute_agg_x")
+    assert not os.path.isdir(os.path.join(root, "day=2024-01-01"))
+    assert sorted(os.listdir(newer)) == files_before  # untouched, not rewritten
+    pvs = sorted(r.pv for r in tmp_catalog.read(spark, "minute_agg_x").collect())
+    assert pvs == [7, 218, 306, 318]  # null group + boundary evening + day3
+
+
 def test_expire_buckets_keeps_all_state_consistent(spark, tmp_catalog):
     """Expiring buckets must drop routed data, histogram partials, AND
     checkpoint rows together, then rebuild summaries — otherwise the next
