@@ -111,6 +111,40 @@ def near_dup_clusters(
     return lab.select(F.col("id").alias(id_col), "cluster_id")
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Train/eval overlap detection — the decontamination step every LLM
+    training pipeline needs: flag corpus docs sharing any word ``k``-gram
+    with a benchmark/eval document. Returns (doc_id, n_hits) with n_hits =
+    number of distinct benchmark shingles the doc contains.
+
+    Scale shape (100 TB corpus, benchmark suites are KB-MB): the benchmark
+    shingle set is tiny — it BROADCASTS; the corpus side explodes its
+    distinct shingles once and semi-joins map-side, so the only shuffle is
+    the per-doc hit count (map-side combined). Never joins corpus-to-corpus.
+    """
+    from abs_log_spark.functions.similarity import shingles_col
+
+    bench_sh = (
+        benchmark.select(
+            F.explode(F.array_distinct(shingles_col(F.col(text_col), k))).alias("s")
+        )
+        .distinct()
+    )
+    corp_sh = corpus.select(
+        "doc_id", F.explode(F.array_distinct(shingles_col(F.col(text_col), k))).alias("s")
+    )
+    return (
+        corp_sh.join(F.broadcast(bench_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
 #: PII patterns — intentionally simple so the Java (Spark) and RE2 (DuckDB)
 #: dialects agree character-for-character.
 EMAIL_RE = "[a-z0-9]+@[a-z]+\\.[a-z]+"

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from abs_log_spark.operators.curation import (
+    decontaminate,
     near_dup_clusters,
     pack_greedy_bins,
     sample_hash_col,
@@ -125,6 +126,49 @@ def curation_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_members") > 1)
         .select(F.col("cluster_id").cast("long").alias("cluster_id"), "n_members")
     )
+
+
+_DECONTAM_SQL = """
+WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 20
+  UNION ALL
+  SELECT doc_id + 3000000, 'zz qq ' || text FROM bench  -- injected contamination
+),
+bw AS (SELECT string_split(text, ' ') AS ws FROM bench),
+bs AS (
+  SELECT DISTINCT unnest(list_transform(generate_series(1, greatest(len(ws) - 4, 0)),
+    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS s
+  FROM bw
+),
+cw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+cs AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(generate_series(1, greatest(len(ws) - 4, 0)),
+      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS s
+  FROM cw
+)
+SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM cs c JOIN bs ON bs.s = c.s GROUP BY 1
+"""
+
+
+@register("curation_decontaminate", _DECONTAM_SQL)
+def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word 5-gram
+    with the eval set (docs with doc_id < 20 stand in for the benchmark;
+    contaminated copies are injected at doc_id+3e6 as known positives).
+    The benchmark shingle set is tiny and BROADCASTS — the corpus is never
+    self-joined; see operators.curation.decontaminate."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") < 20)
+    corpus = docs.where(F.col("doc_id") >= 20).unionByName(
+        bench.select(
+            (F.col("doc_id") + 3_000_000).alias("doc_id"),
+            F.concat(F.lit("zz qq "), F.col("text")).alias("text"),
+        )
+    )
+    return decontaminate(corpus, bench, k=5)
 
 
 _PII_SQL = """

@@ -178,6 +178,95 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(attach_payload(docs), every=2)
 
 
+_REPETITION_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS s
+  FROM w
+)
+SELECT doc_id,
+       CAST(len(s) AS INT) AS n_shingles,
+       CAST(len(list_distinct(s)) AS INT) AS n_distinct,
+       CASE WHEN len(s) > 0
+            THEN round(1.0 - len(list_distinct(s)) / len(s), 6)
+            ELSE 0.0 END AS rep_ratio
+FROM sh
+"""
+
+
+@register("text_repetition", _REPETITION_SQL)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition / boilerplate scoring: fraction of duplicated word
+    3-gram shingles per doc (1 - distinct/total) — the standard
+    quality-filter signal for templated or looping text. Entirely IN-ROW
+    (array exprs over the shingle array): zero shuffle, zero explode — at
+    100 TB this is a pure map over the corpus scan."""
+    from abs_log_spark.functions.similarity import shingles_col
+
+    docs = read_table(spark, sf_dir, "documents")
+    sh = shingles_col(F.col("text"))
+    ns = F.size(sh)
+    nd = F.size(F.array_distinct(sh))
+    return docs.select(
+        "doc_id",
+        ns.cast("int").alias("n_shingles"),
+        nd.cast("int").alias("n_distinct"),
+        F.when(ns > 0, F.round(1.0 - nd / ns, 6)).otherwise(F.lit(0.0)).alias("rep_ratio"),
+    )
+
+
+_TFIDF_SQL = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.word, round(t.tf * ln((n.n + 1.0) / (d.df + 1.0)), 6) AS score
+  FROM tf t JOIN dfreq d USING (word) CROSS JOIN n
+)
+SELECT doc_id, word, score, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+@register("text_tfidf_topk", _TFIDF_SQL)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF keywords (smoothed idf = ln((N+1)/(df+1)),
+    deterministic ties by word) — the keyword-extraction / feature side of
+    corpus curation. Scale shape: explode -> (doc, word) tf groupBy is the
+    one fact shuffle; the document-frequency relation is VOCABULARY-sized
+    and broadcasts back onto tf; top-k plans as WindowGroupLimit (partial
+    top-3 per partition before the window shuffle)."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("score"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "word", "score", "rank")
+    )
+
+
 _CURATION_SQL = """
 WITH all_docs AS (
   SELECT doc_id, text, lang FROM documents

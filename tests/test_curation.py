@@ -6,12 +6,35 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from abs_log_spark.operators.curation import (
+    decontaminate,
     near_dup_clusters,
     pack_greedy_bins,
     sample_hash_col,
     scrub_pii,
     stratified_sample,
 )
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    """Corpus docs sharing a benchmark k-gram are flagged with the distinct
+    overlap count; clean docs are absent; sub-k-word docs never match."""
+    bench = spark.createDataFrame(
+        [(0, "alpha bravo charlie delta echo foxtrot")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains bench 5-grams (full copy + prefix)
+            (100, "xx alpha bravo charlie delta echo foxtrot"),
+            # clean doc, same vocab but different order
+            (101, "foxtrot echo delta charlie bravo alpha"),
+            # too short for a 5-gram
+            (102, "alpha bravo"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_hits for r in decontaminate(corpus, bench, k=5).collect()}
+    # bench has 2 distinct 5-grams; doc 100 contains both
+    assert got == {100: 2}
 
 
 def test_sampling_is_deterministic_and_rate_accurate(spark):
