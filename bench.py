@@ -60,6 +60,8 @@ HEADLINE = [
     "curation_pack_bins",
     "curation_dup_clusters",
     "curation_pii_scrub",
+    "curation_decontaminate",
+    "text_tfidf_topk",
     "streaming_minute_agg_fb",
     "streaming_windowed_agg",
 ]
