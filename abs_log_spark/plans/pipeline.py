@@ -134,6 +134,71 @@ CONSOLIDATED_BUCKET = -1
 _MANIFEST = "_compacted_buckets.json"
 
 
+#: write-ahead journal for the compaction/subtraction directory swaps: the
+#: staging write completes (parquet _SUCCESS) BEFORE the journal appears,
+#: and every post-journal step is idempotent, so a crash at ANY point rolls
+#: forward on the next entry (recover_compaction) — no double count (a
+#: swapped-but-unmanifested bucket would otherwise be re-aggregated by the
+#: backfill), no silent loss (a half-removed partition set is re-applied
+#: from the journal). Same bug class as the round-2 mark_done window —
+#: journaled away instead of re-ordered away because this swap has three
+#: non-atomic steps, not two.
+_JOURNAL = "_compact_journal.json"
+
+
+def _journal_path(cat: Catalog) -> str:
+    return os.path.join(cat.root, _JOURNAL)
+
+
+def _apply_journal(cat: Catalog) -> None:
+    """Idempotently (re-)apply a journaled dir swap + manifest update."""
+    import json
+    import shutil
+
+    with open(_journal_path(cat)) as f:
+        j = json.load(f)
+    src = os.path.join(cat.path(j["staging"]), f"part_bucket={CONSOLIDATED_BUCKET}")
+    dst = os.path.join(cat.path("agg_partials"), f"part_bucket={CONSOLIDATED_BUCKET}")
+    if j.get("has_src", True):
+        if os.path.isdir(src):  # swap not done yet: remove olds, move in
+            for b in j.get("remove", []):
+                shutil.rmtree(
+                    os.path.join(cat.path("agg_partials"), f"part_bucket={b}"),
+                    ignore_errors=True,
+                )
+            shutil.rmtree(dst, ignore_errors=True)
+            os.replace(src, dst)
+        # else: the move already happened — dirs are final
+    else:  # subtract that cancelled everything: the partition just goes away
+        shutil.rmtree(dst, ignore_errors=True)
+    manifest = compacted_buckets(cat)
+    manifest |= set(j.get("manifest_add", []))
+    manifest -= set(j.get("manifest_remove", []))
+    _save_compacted(cat, manifest)
+    cat.drop(j["staging"])
+    os.remove(_journal_path(cat))
+
+
+_COMPACT_STAGINGS = ("_partials_compact_staging", "_partials_subtract_staging")
+
+
+def recover_compaction(cat: Catalog) -> str | None:
+    """Entry-point hygiene (run_pipeline / compact / subtract all call
+    this first): roll a crashed swap forward (journal present — every
+    remaining step is idempotent), or roll an uncommitted staging write
+    back (staging dir without a journal = the write never completed; the
+    live partitions were never touched). Returns what it did."""
+    if os.path.exists(_journal_path(cat)):
+        _apply_journal(cat)
+        return "forward"
+    rolled = None
+    for t in _COMPACT_STAGINGS:
+        if os.path.isdir(cat.path(t)):
+            cat.drop(t)
+            rolled = "rollback"
+    return rolled
+
+
 def compacted_buckets(cat: Catalog) -> set[str]:
     """Buckets whose partials were folded into the consolidated partition by
     :func:`compact_partials` — recorded in a tiny JSON manifest (the parquet
@@ -220,8 +285,13 @@ def compact_partials(
     SUBTRACTS an expired compacted bucket's contribution (recomputed from
     its still-present routed partition) instead of dropping a partition
     dir, and a re-ingested bucket (checkpoint cleared) simply writes its
-    own partition again. Returns counts; no-op if nothing to compact.
+    own partition again. The multi-step dir swap is crash-journaled
+    (:func:`recover_compaction`). Returns counts; no-op if nothing to
+    compact.
     """
+    import json
+
+    recover_compaction(cat)
     have = cat.partition_values("agg_partials")
     live = have - {str(CONSOLIDATED_BUCKET)}
     to_compact = live if buckets is None else (live & {str(b) for b in buckets})
@@ -237,21 +307,21 @@ def compact_partials(
         .agg(*[F.sum(m).cast("long").alias(m) for m in _PARTIAL_MEASURES])
         .withColumn("part_bucket", F.lit(CONSOLIDATED_BUCKET))
     )
-    # write-then-swap: the fold READS the partitions it replaces, so it must
-    # fully materialize in staging before any directory is touched
+    # write-then-journal-then-swap: the fold READS the partitions it
+    # replaces, so it fully materializes in staging first; the journal
+    # appears only after the staging write committed (_SUCCESS), and every
+    # step _apply_journal performs after that is idempotent
     staging = "_partials_compact_staging"
-    cat.drop(staging)
     cat.write(folded, staging, partition_by=("part_bucket",))
-    for b in read_set:
-        p = os.path.join(cat.path("agg_partials"), f"part_bucket={b}")
-        if os.path.isdir(p):
-            import shutil
-
-            shutil.rmtree(p)
-    src = os.path.join(cat.path(staging), f"part_bucket={CONSOLIDATED_BUCKET}")
-    os.replace(src, os.path.join(cat.path("agg_partials"), f"part_bucket={CONSOLIDATED_BUCKET}"))
-    cat.drop(staging)
-    _save_compacted(cat, compacted_buckets(cat) | to_compact)
+    with open(_journal_path(cat), "w") as f:
+        json.dump({
+            "op": "compact",
+            "staging": staging,
+            "remove": read_set,
+            "manifest_add": sorted(to_compact),
+            "has_src": True,
+        }, f)
+    _apply_journal(cat)
     return {"buckets_compacted": len(to_compact)}
 
 
@@ -262,7 +332,11 @@ def subtract_compacted(spark: SparkSession, cat: Catalog, victims: list[str]) ->
     deterministic recompute of the bucket's routed partition — so expiry
     recomputes the victims' partials from routed (still on disk at this
     point), NEGATES the measures, merges, and drops fully-cancelled rows.
-    Must run BEFORE the routed partition drop. Returns victim count."""
+    Must run BEFORE the routed partition drop; the dir swap is
+    crash-journaled like compaction's. Returns victim count."""
+    import json
+
+    recover_compaction(cat)
     victims = sorted(set(map(str, victims)) & compacted_buckets(cat))
     if not victims:
         return 0
@@ -272,35 +346,36 @@ def subtract_compacted(spark: SparkSession, cat: Catalog, victims: list[str]) ->
         F.col("part_bucket") == CONSOLIDATED_BUCKET
     )
     vr = routed_union(spark, cat, routed_sinks(cat), bucket_filter=victims)
-    if vr is not None:
-        neg = minute_agg_hist_partials(vr).select(
-            *[c for c in cons.columns if c not in (*_PARTIAL_MEASURES, "part_bucket")],
-            *[(-F.col(m)).alias(m) for m in _PARTIAL_MEASURES],
-            F.lit(CONSOLIDATED_BUCKET).alias("part_bucket"),
-        )
-        grain = [c for c in cons.columns if c not in (*_PARTIAL_MEASURES, "part_bucket")]
-        merged = (
-            cons.unionByName(neg)
-            .groupBy(*grain)
-            .agg(*[F.sum(m).cast("long").alias(m) for m in _PARTIAL_MEASURES])
-            # a fully-cancelled group has every exact counter at zero
-            .where(" or ".join(f"{m} != 0" for m in _PARTIAL_MEASURES))
-            .withColumn("part_bucket", F.lit(CONSOLIDATED_BUCKET))
-        )
-        staging = "_partials_subtract_staging"
-        cat.drop(staging)
-        cat.write(merged, staging, partition_by=("part_bucket",))
-        dst = os.path.join(
-            cat.path("agg_partials"), f"part_bucket={CONSOLIDATED_BUCKET}"
-        )
-        import shutil
-
-        shutil.rmtree(dst, ignore_errors=True)
-        src = os.path.join(cat.path(staging), f"part_bucket={CONSOLIDATED_BUCKET}")
-        if os.path.isdir(src):  # everything cancelled -> partition vanishes
-            os.replace(src, dst)
-        cat.drop(staging)
-    _save_compacted(cat, compacted_buckets(cat) - set(victims))
+    if vr is None:
+        _save_compacted(cat, compacted_buckets(cat) - set(victims))
+        return len(victims)
+    neg = minute_agg_hist_partials(vr).select(
+        *[c for c in cons.columns if c not in (*_PARTIAL_MEASURES, "part_bucket")],
+        *[(-F.col(m)).alias(m) for m in _PARTIAL_MEASURES],
+        F.lit(CONSOLIDATED_BUCKET).alias("part_bucket"),
+    )
+    grain = [c for c in cons.columns if c not in (*_PARTIAL_MEASURES, "part_bucket")]
+    merged = (
+        cons.unionByName(neg)
+        .groupBy(*grain)
+        .agg(*[F.sum(m).cast("long").alias(m) for m in _PARTIAL_MEASURES])
+        # a fully-cancelled group has every exact counter at zero
+        .where(" or ".join(f"{m} != 0" for m in _PARTIAL_MEASURES))
+        .withColumn("part_bucket", F.lit(CONSOLIDATED_BUCKET))
+    )
+    staging = "_partials_subtract_staging"
+    cat.write(merged, staging, partition_by=("part_bucket",))
+    has_src = os.path.isdir(
+        os.path.join(cat.path(staging), f"part_bucket={CONSOLIDATED_BUCKET}")
+    )  # everything-cancelled -> the consolidated partition just vanishes
+    with open(_journal_path(cat), "w") as f:
+        json.dump({
+            "op": "subtract",
+            "staging": staging,
+            "manifest_remove": victims,
+            "has_src": has_src,
+        }, f)
+    _apply_journal(cat)
     return len(victims)
 
 
@@ -354,6 +429,10 @@ def run_pipeline(
     cfg = cfg or PipelineConfig()
     metrics = StageMetrics()
 
+    # roll forward/back any compaction swap a previous run crashed inside —
+    # BEFORE reading checkpoints or partials (disk state must be consistent
+    # before backfill detection looks at it)
+    recover_compaction(cat)
     done = ckpt.completed_partitions(spark, cat, "routed") if cfg.resume else set()
     pending = ckpt.filter_pending(seq_df, done)
     pending = metrics.observe_input(pending)

@@ -126,9 +126,16 @@ def run_pipeline_bench(spark, n_rows: int, warehouse: str) -> dict:
 #: large-core run at ~75s steady state; measured efficiency rose 0.70 ->
 #: 0.77 going 8M -> 24M purely from amortizing those fixed costs.
 SCALING_ROWS = 24_000_000
-SCALING_REPS = 4  # per JVM: rep0 = JIT warmup (discarded), min of the rest
-# (4, not 3: observed interference windows where wall was still decaying at
-# rep 3 — one more steady rep materially improves the min's fidelity)
+#: reps per JVM per core count: rep0 = JIT warmup (discarded), min of the
+#: rest. Round 2 bumped 3 -> 4 (walls still decaying at rep 3). Round 3
+#: bumped the SHORT leg to 6: host interference arrives in multi-minute
+#: episodes that blanket an entire 4-rep local[16] leg (~6 min; observed
+#: steady walls 64.6 s and 92-96 s for identical work in adjacent windows)
+#: while the ~15-min local[4] leg has always straddled episodes (its steady
+#: walls vary < 7% across every recorded window). Extending only the short
+#: leg's sampling window catches inter-episode gaps; the estimator (min of
+#: steady reps, interference strictly additive) is unchanged.
+SCALING_REPS = {4: 4, 16: 6}
 #: N and 4N ([B] north_rule "two cluster sizes (N and 4N executors)").
 #: 4 vs 16 cores, NOT 8 vs 32: a pure-CPU control (32 independent busy
 #: processes vs 8) shows this VM delivers only ~3.4x compute from 8->32
@@ -207,7 +214,7 @@ def run_scaling(n_rows: int = SCALING_ROWS) -> dict:
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "jobs", "run_pipeline.py"),
              "--input", input_dir, "--warehouse", wh, "--no-resume",
-             "--aligned", "--repeat", str(SCALING_REPS),
+             "--aligned", "--repeat", str(SCALING_REPS[cores]),
              "--run-id", f"scale{cores}", "--master", f"local[{cores}]"],
             capture_output=True, text=True,
             env={**os.environ, "PYTHONPATH": REPO,

@@ -90,6 +90,78 @@ def test_compaction_then_incremental_resume(spark, tmp_catalog, tmp_path):
     assert _summaries(spark, tmp_catalog) == _summaries(spark, full_cat)
 
 
+def test_compaction_crash_windows_roll_forward(spark, tmp_catalog):
+    """The compaction dir-swap is journaled: a crash at ANY point between
+    the staging write and the manifest update must roll forward (or back,
+    if staging never completed) on the next run — no double count, no
+    silent loss. Simulated by replaying the persisted journal against
+    the on-disk state of each crash point."""
+    import json
+    import os
+    import shutil
+
+    from abs_log_spark.plans.pipeline import (
+        _JOURNAL,
+        recover_compaction,
+    )
+
+    seq = gen_sequences(spark, N, invalid_every=10)
+    dim = gen_sources_dim(spark)
+    run_pipeline(spark, tmp_catalog, seq, dim, run_id="r1")
+    snap = _summaries(spark, tmp_catalog)
+
+    # crash point A: staging incomplete (no _SUCCESS), journal absent ->
+    # rollback leaves the per-bucket partials untouched
+    staging = tmp_catalog.path("_partials_compact_staging")
+    os.makedirs(os.path.join(staging, f"part_bucket={CONSOLIDATED_BUCKET}"))
+    recover_compaction(tmp_catalog)
+    assert not os.path.isdir(staging)
+    assert len(tmp_catalog.partition_values("agg_partials")) == 8
+
+    # crash point B: staging complete + journal written, NO dir ops done ->
+    # roll forward completes the swap
+    res = compact_partials(spark, tmp_catalog)  # produce a real consolidated state
+    assert res["buckets_compacted"] == 8
+    # reconstruct the pre-swap crash: move consolidated back out as staging,
+    # restore nothing else, and write the journal compact_partials would have
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging)
+    os.replace(
+        os.path.join(tmp_catalog.path("agg_partials"), f"part_bucket={CONSOLIDATED_BUCKET}"),
+        os.path.join(staging, f"part_bucket={CONSOLIDATED_BUCKET}"),
+    )
+    open(os.path.join(staging, "_SUCCESS"), "w").close()
+    os.remove(os.path.join(tmp_catalog.root, "_compacted_buckets.json"))
+    with open(os.path.join(tmp_catalog.root, _JOURNAL), "w") as f:
+        json.dump({
+            "op": "compact",
+            "staging": "_partials_compact_staging",
+            "remove": [],
+            "manifest_add": [str(b) for b in range(8)],
+        }, f)
+    recover_compaction(tmp_catalog)
+    assert tmp_catalog.partition_values("agg_partials") == {str(CONSOLIDATED_BUCKET)}
+    assert compacted_buckets(tmp_catalog) == {str(b) for b in range(8)}
+    assert not os.path.exists(os.path.join(tmp_catalog.root, _JOURNAL))
+    rebuild_summaries(spark, tmp_catalog)
+    assert _summaries(spark, tmp_catalog) == snap
+
+    # crash point C: dirs swapped + staging dropped, manifest/journal not
+    # finalized -> roll forward applies the manifest (backfill must NOT
+    # re-aggregate the folded buckets: that would double count)
+    os.remove(os.path.join(tmp_catalog.root, "_compacted_buckets.json"))
+    with open(os.path.join(tmp_catalog.root, _JOURNAL), "w") as f:
+        json.dump({
+            "op": "compact",
+            "staging": "_partials_compact_staging",
+            "remove": [],
+            "manifest_add": [str(b) for b in range(8)],
+        }, f)
+    r2 = run_pipeline(spark, tmp_catalog, seq, dim, run_id="r2")  # recovers at entry
+    assert r2["buckets_backfilled"] == 0
+    assert _summaries(spark, tmp_catalog) == snap
+
+
 def test_auto_compact_pipeline_mode(spark, tmp_catalog, tmp_path):
     """cfg.auto_compact: every run leaves agg_partials as ONE consolidated
     partition, and summaries still equal the full recompute across resumed
