@@ -267,6 +267,73 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LM_QUALITY_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 0)),
+                               i -> ws[i] || ' ' || ws[i+1])) AS b
+  FROM w
+),
+uni AS (SELECT doc_id, unnest(ws) AS word FROM w),
+cbg AS (SELECT b, count(*) AS c FROM bg GROUP BY 1),
+cuni AS (SELECT word, count(*) AS c FROM uni GROUP BY 1),
+v AS (SELECT count(DISTINCT word) AS v FROM uni),
+scored AS (
+  SELECT d.doc_id,
+         ln((cb.c + 1.0) / (cu.c + v.v)) AS lp
+  FROM bg d
+  JOIN cbg cb ON cb.b = d.b
+  JOIN cuni cu ON cu.word = string_split(d.b, ' ')[1]
+  CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(lp), 6) AS avg_logp
+FROM scored GROUP BY 1
+"""
+
+
+@register("text_lm_quality", _LM_QUALITY_SQL)
+def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring (the CCNet/KenLM-style curation
+    filter): train corpus-level bigram counts, score each doc by its mean
+    add-1-smoothed bigram log-probability ln((c(w1 w2)+1)/(c(w1)+V)).
+    Low scores = improbable word sequences (garbled or off-distribution
+    text). Scale shape: the bigram/unigram count relations are
+    VOCABULARY-sized (map-side combined aggregates) and broadcast back
+    onto the exploded doc bigrams — the corpus sees one explode + one
+    per-doc combine, never a corpus-to-corpus join; for an open-vocab
+    web corpus the count join falls back to a shuffle join, which AQE
+    skew-splits on stopword-headed bigrams."""
+    from abs_log_spark.functions.similarity import shingles_col
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bg = docs.select(
+        "doc_id", F.explode(shingles_col(F.col("text"), k=2)).alias("b")
+    )
+    uni = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    cbg = bg.groupBy("b").agg(F.count("*").alias("cb"))
+    cuni = uni.groupBy("word").agg(F.count("*").alias("cu"))
+    v = uni.agg(F.count_distinct("word").alias("v"))
+    scored = (
+        bg.join(F.broadcast(cbg), "b")
+        .join(
+            F.broadcast(cuni),
+            F.element_at(F.split(F.col("b"), " "), 1) == F.col("word"),
+        )
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.log((F.col("cb") + 1.0) / (F.col("cu") + F.col("v"))).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logp"),
+    )
+
+
 _CURATION_SQL = """
 WITH all_docs AS (
   SELECT doc_id, text, lang FROM documents
