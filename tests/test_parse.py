@@ -53,6 +53,28 @@ def test_arrow_abstraction_matches_builtin(spark):
     assert mism == 0
 
 
+def test_arrow_pandas_paths_agree(spark):
+    """Pure-Arrow UDF path == pandas-UDF fallback path, including the
+    batches the Arrow fast path must hand off: null tokens and non-ASCII
+    code points (both detokenize via the per-row fallback)."""
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    from abs_log_spark.functions.parse import parse_arrow_pandas
+
+    seq = gen_sequences(spark, 300, invalid_every=11)
+    # append adversarial rows: null tokens + a non-ASCII (fallback) line
+    extra = spark.createDataFrame(
+        [(None,), ([ord(c) for c in GOOD.replace("alpha", "ålpha")],)],
+        StructType([StructField("tokens", ArrayType(IntegerType()))]),
+    )
+    base = seq.select("tokens").unionByName(extra)
+    a = parse_arrow(base).drop("tokens")
+    p = parse_arrow_pandas(base).drop("tokens")
+    assert a.exceptAll(p).count() + p.exceptAll(a).count() == 0
+    # the non-ASCII line still parses (fallback path is full-Unicode)
+    assert a.where(F.col("args") == "q=ålpha&page=2").count() == 1
+
+
 def test_tokens_untouched_roundtrip(spark):
     """Token-equality invariant [B]: tokens survive the parse byte-identical,
     and detokenize(tokenize(x)) == x for unicode."""
