@@ -43,6 +43,19 @@ from abs_log_spark.functions.text import fingerprint_md5_col
 DEFAULT_MAX_BUCKET_SIZE = 512
 
 
+
+def _own_persist(df: DataFrame, persisted_out: list | None) -> DataFrame:
+    """Persist lifecycle routing: the caller owns the handle when it passed
+    ``persisted_out``; otherwise it lands in the session cache registry via
+    the public ``cache.track`` (whoever drives the action calls
+    ``cache.release_all()``)."""
+    df = df.persist()
+    if persisted_out is not None:
+        persisted_out.append(df)
+    else:
+        cache.track(df)
+    return df
+
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: survivors = min(id) per md5(text) group. Returns
     (fingerprint, keep_id, n_dups)."""
@@ -91,10 +104,9 @@ def minhash_lsh_pairs(
     """
     docs_sh = df.select("doc_id", shingles_col(F.col(text_col)).alias("sh"))
     if materialize_shingles:
-        docs_sh = docs_sh.persist()
         # lifecycle ownership: hand the persisted handle to the caller, or
         # to the session cache registry for whoever drives the action
-        (persisted_out if persisted_out is not None else cache._TRACKED).append(docs_sh)
+        docs_sh = _own_persist(docs_sh, persisted_out)
     sig = minhash_signature_arr(docs_sh)
     bb = band_buckets(sig)
     if max_bucket_size is not None:
@@ -102,8 +114,7 @@ def minhash_lsh_pairs(
         # third (skipped_out): persist the tiny (doc_id, band, bucket)
         # relation or every branch re-derives the signatures from shingles
         # (measured 1.5x the whole query). Same lifecycle as docs_sh.
-        bb = bb.persist()
-        (persisted_out if persisted_out is not None else cache._TRACKED).append(bb)
+        bb = _own_persist(bb, persisted_out)
         if skipped_out is not None:
             skipped_out.append(oversized_buckets(bb, max_bucket_size))
     cand = candidate_pairs(bb, max_bucket_size)
@@ -152,8 +163,7 @@ def simhash_pairs(
     # as minhash_lsh_pairs: pass persisted_out to own the unpersist; at
     # petabyte scale write the signature relation to a table instead.
     if materialize_signatures:
-        sig = sig.persist()
-        (persisted_out if persisted_out is not None else cache._TRACKED).append(sig)
+        sig = _own_persist(sig, persisted_out)
     # chunk-LSH reuses the banded candidate machinery: band = chunk index,
     # bucket = the chunk substring (one groupBy + in-row pairing, see
     # similarity.candidate_pairs)
@@ -175,8 +185,7 @@ def simhash_pairs(
     if max_bucket_size is not None:
         # same as minhash: the count pre-pass is a second consumer of the
         # chunk relation — persist it rather than re-exploding per branch
-        chunks = chunks.persist()
-        (persisted_out if persisted_out is not None else cache._TRACKED).append(chunks)
+        chunks = _own_persist(chunks, persisted_out)
         if skipped_out is not None:
             skipped_out.append(oversized_buckets(chunks, max_bucket_size))
     cand = candidate_pairs(chunks, max_bucket_size)

@@ -75,14 +75,18 @@ class PipelineConfig:
     #: False = recompute summaries from all routed tables (the simple path,
     #: kept for equivalence testing; cost grows with total history).
     incremental_agg: bool = True
-    #: steady-state partials hygiene: after the summaries are rebuilt, fold
-    #: every completed bucket's partials into the consolidated partition
-    #: (see compact_partials) so the NEXT run's fold input is one
-    #: consolidated partition + that run's increment — O(live keys) forever,
-    #: instead of growing with retained buckets. Safe because a checkpointed
-    #: bucket only ever changes via expiry (which subtracts) or re-ingest
-    #: (which rewrites its own partition).
-    auto_compact: bool = False
+    #: steady-state partials hygiene, ON by default: each run folds
+    #: CHECKPOINTED buckets' partials into the consolidated partition (see
+    #: compact_partials) so the next run's fold input is one consolidated
+    #: partition + that run's increment — O(live keys) forever, instead of
+    #: growing with retained buckets. The horizon policy is "checkpointed":
+    #: compaction runs strictly AFTER ckpt.mark_done, so an un-checkpointed
+    #: bucket is never folded (a crash anywhere before mark_done just
+    #: re-runs the bucket against its own still-separate partition — no
+    #: double count); a checkpointed bucket only changes again via expiry
+    #: (manifest subtract) or an explicit checkpoint clear, which the
+    #: re-ingest pre-pass at the top of run_pipeline un-compacts first.
+    auto_compact: bool = True
 
 
 def fan_out_summary(cat: Catalog, name: str, summary: DataFrame) -> None:
@@ -434,6 +438,18 @@ def run_pipeline(
     # before backfill detection looks at it)
     recover_compaction(cat)
     done = ckpt.completed_partitions(spark, cat, "routed") if cfg.resume else set()
+    # Re-ingest pre-pass: a COMPACTED bucket whose checkpoint row was cleared
+    # (operator re-ingest, or resume=False over an existing warehouse) is
+    # about to be re-processed — but its old contribution lives inside the
+    # consolidated partials partition, where the fresh per-bucket write
+    # cannot overwrite it. Subtract it NOW, while the bucket's old routed
+    # partition (the subtraction's recompute input) is still on disk — the
+    # promote below replaces it. After this, the bucket behaves exactly like
+    # a never-compacted re-run: its own partitions get rewritten, no double
+    # count (tests/test_compaction.py::test_reingest_after_compaction).
+    reingest = compacted_buckets(cat) - done
+    if reingest:
+        subtract_compacted(spark, cat, sorted(reingest))
     pending = ckpt.filter_pending(seq_df, done)
     pending = metrics.observe_input(pending)
     metrics.mark("setup")
@@ -531,8 +547,6 @@ def run_pipeline(
                     partition_by=("part_bucket",),
                 )
         rebuild_summaries(spark, cat)
-        if cfg.auto_compact:
-            compact_partials(spark, cat)
         metrics.mark("aggregate")
     else:
         backfill = set()
@@ -547,6 +561,17 @@ def run_pipeline(
     # checkpoint LAST (see comment above the bucket derivation)
     if buckets:
         ckpt.mark_done(spark, cat, run_id, "routed", buckets)
+
+    # compact strictly AFTER mark_done: folding an un-checkpointed bucket
+    # into the consolidated partition would let a crash-then-resume
+    # re-process it and double-count (its own rewritten partition + its
+    # contribution already baked into part_bucket=-1). Post-mark_done, every
+    # live partials partition belongs to a checkpointed bucket, so folding
+    # is safe; a crash inside compaction itself rolls forward/back via the
+    # journal (recover_compaction at the next entry).
+    if cfg.incremental_agg and cfg.auto_compact:
+        compact_partials(spark, cat)
+        metrics.mark("compact")
 
     vals = metrics.flush(spark, cat, run_id, buckets)
     vals["buckets_processed"] = len(buckets)

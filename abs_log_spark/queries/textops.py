@@ -281,7 +281,7 @@ cuni AS (SELECT word, count(*) AS c FROM uni GROUP BY 1),
 v AS (SELECT count(DISTINCT word) AS v FROM uni),
 scored AS (
   SELECT d.doc_id,
-         ln((cb.c + 1.0) / (cu.c + v.v)) AS lp
+         CAST(round(ln((cb.c + 1.0) / (cu.c + v.v)) * 1000000) AS BIGINT) AS lp_q
   FROM bg d
   JOIN cbg cb ON cb.b = d.b
   JOIN cuni cu ON cu.word = string_split(d.b, ' ')[1]
@@ -289,7 +289,7 @@ scored AS (
 )
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_bigrams,
-       round(avg(lp), 6) AS avg_logp
+       round(sum(lp_q) / 1000000.0 / count(*), 6) AS avg_logp
 FROM scored GROUP BY 1
 """
 
@@ -325,12 +325,19 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(v))
         .select(
             "doc_id",
-            F.log((F.col("cb") + 1.0) / (F.col("cu") + F.col("v"))).alias("lp"),
+            # cross-engine float parity (CLAUDE.md contract, same discipline
+            # as kmeans_ivf_assign): quantize each bigram's log-prob to a
+            # 1e-6-grained BIGINT, sum the integers (exact, shuffle-order-
+            # free), divide once — F.avg over raw doubles would compare
+            # order-dependent float addition against DuckDB's
+            F.round(
+                F.log((F.col("cb") + 1.0) / (F.col("cu") + F.col("v"))) * 1e6
+            ).cast("long").alias("lp_q"),
         )
     )
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
-        F.round(F.avg("lp"), 6).alias("avg_logp"),
+        F.round(F.sum("lp_q") / 1e6 / F.count("*"), 6).alias("avg_logp"),
     )
 
 

@@ -46,9 +46,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--exact-quantiles", action="store_true")
     p.add_argument(
-        "--auto-compact", action="store_true",
-        help="after summaries rebuild, fold completed buckets' partials into "
-        "the consolidated partition (keeps the per-run fold O(live keys))",
+        "--no-auto-compact", action="store_true",
+        help="keep per-bucket agg_partials partitions instead of folding "
+        "checkpointed buckets into the consolidated partition after "
+        "mark_done (auto-compaction is ON by default; the fold keeps the "
+        "per-run summary merge O(live keys))",
     )
     p.add_argument(
         "--full-agg", action="store_true",
@@ -78,7 +80,7 @@ def main(argv: list[str] | None = None) -> int:
         input_aligned=args.aligned,
         exclude_uri=args.exclude_uri,
         incremental_agg=not args.full_agg,
-        auto_compact=args.auto_compact,
+        auto_compact=not args.no_auto_compact,
     )
     if args.repeat == 1:
         summary = run_pipeline(spark, cat, seq, dim, run_id=args.run_id, cfg=cfg)

@@ -283,7 +283,11 @@ def test_crash_between_promote_and_partials_heals(spark, tmp_catalog):
 
     seq = gen_sequences(spark, N, invalid_every=10)
     dim = gen_sources_dim(spark)
-    run_pipeline(spark, tmp_catalog, seq, dim, run_id="r1")
+    # auto_compact off: the simulated crash state needs bucket 2's OWN
+    # partials partition on disk (the compacted variant of this window is
+    # covered by tests/test_compaction.py)
+    nc = PipelineConfig(auto_compact=False)
+    run_pipeline(spark, tmp_catalog, seq, dim, run_id="r1", cfg=nc)
     pv1 = {
         s: tmp_catalog.read(spark, f"minute_agg_{s}").agg(F.sum("pv")).collect()[0][0]
         for s in ("sink_a", "sink_b", "sink_c")
@@ -291,7 +295,7 @@ def test_crash_between_promote_and_partials_heals(spark, tmp_catalog):
     }
     # simulate the crash state: bucket 2's partials vanish, checkpoint says done
     shutil.rmtree(tmp_catalog.path("agg_partials") + "/part_bucket=2")
-    r2 = run_pipeline(spark, tmp_catalog, seq, dim, run_id="r2")
+    r2 = run_pipeline(spark, tmp_catalog, seq, dim, run_id="r2", cfg=nc)
     assert r2["buckets_processed"] == 0 and r2["buckets_backfilled"] == 1
     for s, v in pv1.items():
         assert (

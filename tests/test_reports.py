@@ -130,12 +130,16 @@ def test_expire_buckets_keeps_all_state_consistent(spark, tmp_catalog):
     merge resurrects expired data or a re-ingest silently skips."""
     from abs_log_spark.operators.retention import expire_buckets
     from abs_log_spark.plans import checkpoint as ckpt
-    from abs_log_spark.plans.pipeline import run_pipeline
+    from abs_log_spark.plans.pipeline import PipelineConfig, run_pipeline
     from abs_log_spark.sources.synth import gen_sequences, gen_sources_dim
 
     seq = gen_sequences(spark, 600, invalid_every=10)
     dim = gen_sources_dim(spark)
-    run_pipeline(spark, tmp_catalog, seq, dim, run_id="r1")
+    # auto_compact off: this test asserts the PER-BUCKET partition drops;
+    # the consolidated-partition expiry path is covered by
+    # tests/test_compaction.py::test_expire_compacted_bucket_subtracts_exactly
+    run_pipeline(spark, tmp_catalog, seq, dim, run_id="r1",
+                 cfg=PipelineConfig(auto_compact=False))
     pv_all = sum(
         tmp_catalog.read(spark, f"minute_agg_{s}").agg(F.sum("pv")).collect()[0][0]
         for s in ("sink_a", "sink_b", "sink_c")
@@ -241,3 +245,87 @@ def test_expire_routed_buckets(spark, tmp_catalog):
     assert expire_routed_buckets(tmp_catalog, "routed_x", ["0", "2"]) == 2
     left = tmp_catalog.read(spark, "routed_x")
     assert set(r[0] for r in left.select("part_bucket").distinct().collect()) == {1, 3}
+
+
+def _day_table(spark, tmp_catalog, name):
+    rows = []
+    for day in (1, 2, 3):
+        for h in (6, 18):
+            rows.append((f"2024-01-0{day} {h:02d}:00:00", day * 100 + h))
+    df = (
+        spark.createDataFrame(rows, "minute string, pv long")
+        .withColumn("minute", F.to_timestamp("minute"))
+        .withColumn("day", F.to_date("minute"))
+    )
+    tmp_catalog.write(df, name, partition_by=("day",))
+    return df
+
+
+def test_expire_boundary_swap_crash_recovers(spark, tmp_catalog):
+    """Round-3 ADVICE (medium): a crash between the boundary day's
+    move-aside and the staged move-in must NOT lose the kept rows. Simulate
+    the exact window — staging written, boundary dir tombstoned, promote
+    never ran — and assert the next expire_summary invocation restores the
+    kept rows before re-applying the cutoff."""
+    import os
+    import shutil as sh
+
+    from abs_log_spark.operators.retention import recover_retention
+
+    _day_table(spark, tmp_catalog, "minute_agg_c")
+    root = tmp_catalog.path("minute_agg_c")
+    cutoff = "2024-01-02 12:00:00"
+
+    # reproduce expire_summary's on-disk state at the crash point:
+    # old days dropped, staging holds the kept boundary rows (day=2024-01-02
+    # evening), boundary dir moved aside to the tombstone, promote pending
+    sh.rmtree(os.path.join(root, "day=2024-01-01"))
+    df = tmp_catalog.read(spark, "minute_agg_c")
+    keep = df.where("day = DATE '2024-01-02' and minute >= TIMESTAMP '2024-01-02 12:00:00'")
+    tmp_catalog.write(keep.coalesce(1), "_minute_agg_c_retention_staging",
+                      partition_by=("day",))
+    os.replace(
+        os.path.join(root, "day=2024-01-02"),
+        os.path.join(root, ".day=2024-01-02.tombstone"),
+    )
+
+    # crash-state reads: Spark skips the dot-dir; boundary rows are absent
+    assert tmp_catalog.read(spark, "minute_agg_c").count() == 2  # day3 only
+
+    res = expire_summary(spark, tmp_catalog, "minute_agg_c", cutoff)
+    assert res == {"kept": 3, "dropped": 0}  # kept rows restored, no re-drop
+    pvs = sorted(r.pv for r in tmp_catalog.read(spark, "minute_agg_c").collect())
+    assert pvs == [218, 306, 318]
+    assert not os.path.isdir(os.path.join(root, ".day=2024-01-02.tombstone"))
+    assert not os.path.isdir(tmp_catalog.path("_minute_agg_c_retention_staging"))
+
+    # idempotence: recovery with nothing pending is a no-op
+    recover_retention(tmp_catalog, "minute_agg_c")
+    assert sorted(r.pv for r in tmp_catalog.read(spark, "minute_agg_c").collect()) == pvs
+
+
+def test_expire_unpartitioned_swap_crash_recovers(spark, tmp_catalog):
+    """Whole-table replace (unpartitioned layout): crash after the table
+    moved aside but before staging moved in — recovery promotes staging
+    (the kept rows), never resurrects dropped rows or loses kept ones."""
+    import os
+
+    from abs_log_spark.operators.retention import recover_retention
+
+    df = spark.range(10).select(
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_interval(mins=F.col("id").cast("int"))).alias("minute"),
+        F.col("id").alias("pv"),
+    )
+    tmp_catalog.write(df, "minute_agg_u")
+    keep = df.where("pv >= 4")
+    tmp_catalog.write(keep.coalesce(1), "_minute_agg_u_retention_staging")
+    os.replace(
+        tmp_catalog.path("minute_agg_u"),
+        tmp_catalog.path(".minute_agg_u.tombstone"),
+    )
+    recover_retention(tmp_catalog, "minute_agg_u")
+    assert sorted(r.pv for r in tmp_catalog.read(spark, "minute_agg_u").collect()) == [
+        4, 5, 6, 7, 8, 9
+    ]
+    assert not os.path.isdir(tmp_catalog.path(".minute_agg_u.tombstone"))
