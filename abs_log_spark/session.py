@@ -32,7 +32,13 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
-    "spark.sql.parquet.compression.codec": "snappy",
+    # zstd, not snappy: measured on the 24M-row token-array write (the
+    # pipeline's dominant I/O), zstd is BOTH ~40% faster to encode AND ~27%
+    # smaller on disk (15-20s/881MB vs 27-41s/1.2GB) — snappy pays a slow
+    # dictionary-encode on the wide int-array column for worse compression.
+    # At 100 TB smaller output also means proportionally less shuffle/IO for
+    # every downstream reader.
+    "spark.sql.parquet.compression.codec": "zstd",
     # local-mode friendly; AQE re-coalesces. On a 1000-executor cluster this
     # would be ~2-3x total cores instead.
     "spark.sql.shuffle.partitions": "64",
