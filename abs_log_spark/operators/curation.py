@@ -72,22 +72,36 @@ def pack_greedy_bins(
 
 
 def near_dup_clusters(
-    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id", iters: int = 2
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id", iters: int = 2,
+    mode: str = "propagate",
 ) -> DataFrame:
     """Resolve near-dup pairs into clusters by ``iters`` rounds of min-label
     propagation; survivor = min doc id per cluster. Returns
     (doc_id, cluster_id).
 
     Fixed iteration count on BOTH engines (the oracle runs the identical
-    two rounds), so parity holds even mid-convergence; star-shaped dup
-    clusters (the overwhelmingly common case after exact dedup) converge in
-    one round. Synchronous min-label propagation moves a label ONE hop per
-    round, so chains of <= ``iters`` hops converge (pointer-jumping /
-    large-star-small-star would give 2^iters, at the cost of re-writing the
-    edge set each round — not worth it for post-exact-dedup cluster shapes,
-    where diameters are tiny). Each round joins
-    the label table against the EDGE set only — the corpus never re-shuffles
-    and the edge relation is candidate-pair sized, not corpus sized."""
+    rounds), so parity holds even mid-convergence; star-shaped dup clusters
+    (the overwhelmingly common case after exact dedup) converge in one
+    round. Two modes:
+
+    - ``propagate`` (default): synchronous min-label propagation — a label
+      moves ONE hop per round, so chains of <= ``iters`` hops converge.
+      One edge join + one aggregate per round; right for post-exact-dedup
+      cluster shapes, where diameters are tiny.
+    - ``pointer_jump``: each round follows the gather with a label-shortcut
+      step (cluster_id := label of my label — the classic pointer-jumping /
+      path-doubling halving). Reach grows like 2^iters (exactly: d_r =
+      2*(d_{r-1}+1), so iters=2 covers 6-hop chains, iters=3 covers 14) at
+      the cost of one extra label-table self-join per round. The scale
+      answer when boilerplate-mutation CHAINS (A~B~C~D...) survive into the
+      pair set.
+
+    Every round joins the label table against the EDGE set (and, for
+    pointer_jump, against itself) — the corpus never re-shuffles; the label
+    relation is 2 columns and the edge relation candidate-pair sized, not
+    corpus sized."""
+    if mode not in ("propagate", "pointer_jump"):
+        raise ValueError(f"unknown mode {mode!r}")
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
@@ -108,6 +122,16 @@ def near_dup_clusters(
                 ).alias("cluster_id"),
             )
         )
+        if mode == "pointer_jump":
+            # shortcut: cluster_id := cluster_id(cluster_id). Labels are
+            # always existing doc ids (min over ids), so the self-join is
+            # total — every row survives with a (possibly shorter) label.
+            hop = lab.select(
+                F.col("id").alias("p_id"), F.col("cluster_id").alias("p_label")
+            )
+            lab = lab.join(hop, lab.cluster_id == hop.p_id).select(
+                "id", F.col("p_label").alias("cluster_id")
+            )
     return lab.select(F.col("id").alias(id_col), "cluster_id")
 
 

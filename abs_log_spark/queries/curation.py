@@ -128,6 +128,59 @@ def curation_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHAIN_SQL = """
+WITH ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS r
+  FROM documents ORDER BY doc_id LIMIT 6
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ranked a JOIN ranked b ON b.r = a.r + 1
+),
+e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+      UNION ALL SELECT doc_b, doc_a FROM p),
+l0 AS (SELECT doc_id AS id, doc_id AS cluster_id FROM documents),
+n1 AS (SELECT e.src, min(l.cluster_id) AS nb FROM e JOIN l0 l ON l.id = e.dst GROUP BY 1),
+g1 AS (SELECT l0.id, least(l0.cluster_id, coalesce(n1.nb, l0.cluster_id)) AS cluster_id
+       FROM l0 LEFT JOIN n1 ON n1.src = l0.id),
+s1 AS (SELECT a.id, b.cluster_id FROM g1 a JOIN g1 b ON b.id = a.cluster_id),
+n2 AS (SELECT e.src, min(l.cluster_id) AS nb FROM e JOIN s1 l ON l.id = e.dst GROUP BY 1),
+g2 AS (SELECT s1.id, least(s1.cluster_id, coalesce(n2.nb, s1.cluster_id)) AS cluster_id
+       FROM s1 LEFT JOIN n2 ON n2.src = s1.id),
+s2 AS (SELECT a.id, b.cluster_id FROM g2 a JOIN g2 b ON b.id = a.cluster_id)
+SELECT s2.id AS doc_id, CAST(s2.cluster_id AS BIGINT) AS cluster_id
+FROM s2 JOIN ranked ON ranked.doc_id = s2.id
+"""
+
+
+@register("curation_dup_clusters_chain", _CHAIN_SQL)
+def curation_dup_clusters_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointer-jumping cluster resolution on an injected 5-hop CHAIN (the
+    adversarial shape for plain min-label propagation, which moves labels
+    one hop per round): the 6 smallest doc_ids are linked A~B~...~F and
+    ``near_dup_clusters(mode='pointer_jump', iters=2)`` must resolve all
+    six to ONE cluster — reach d_r = 2*(d_{r-1}+1) covers 6 hops in 2
+    rounds where the propagate mode would need 5. The oracle replays the
+    IDENTICAL gather+shortcut rounds (fixed-iteration discipline), so
+    parity holds mid-convergence too."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    ranked = (
+        docs.orderBy("doc_id").limit(6)
+        .withColumn("r", F.row_number().over(Window.orderBy("doc_id")))
+    )
+    pairs = (
+        ranked.alias("a")
+        .join(ranked.alias("b"), F.col("b.r") == F.col("a.r") + 1)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    clusters = near_dup_clusters(docs, pairs, iters=2, mode="pointer_jump")
+    return clusters.join(ranked.select("doc_id"), "doc_id").select(
+        "doc_id", F.col("cluster_id").cast("long").alias("cluster_id")
+    )
+
+
 _DECONTAM_SQL = """
 WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
 corpus AS (

@@ -233,23 +233,20 @@ SELECT doc_id, word, score, rank FROM (
 """
 
 
-@register("text_tfidf_topk", _TFIDF_SQL)
-def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc top-3 TF-IDF keywords (smoothed idf = ln((N+1)/(df+1)),
-    deterministic ties by word) — the keyword-extraction / feature side of
-    corpus curation. Scale shape: explode -> (doc, word) tf groupBy is the
-    one fact shuffle; the document-frequency relation is VOCABULARY-sized
-    and broadcasts back onto tf; top-k plans as WindowGroupLimit (partial
-    top-3 per partition before the window shuffle)."""
+def _tfidf_topk(spark: SparkSession, sf_dir: str, broadcast_counts: bool) -> DataFrame:
     from pyspark.sql import Window
 
     docs = read_table(spark, sf_dir, "documents")
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    if broadcast_counts:
+        dfreq = F.broadcast(dfreq)
+    else:
+        dfreq = dfreq.hint("shuffle_hash")
     n = docs.agg(F.count("*").alias("n"))
     scored = (
-        tf.join(F.broadcast(dfreq), "word")
+        tf.join(dfreq, "word")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -265,6 +262,29 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("doc_id", "word", "score", "rank")
     )
+
+
+@register("text_tfidf_topk", _TFIDF_SQL)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF keywords (smoothed idf = ln((N+1)/(df+1)),
+    deterministic ties by word) — the keyword-extraction / feature side of
+    corpus curation. Scale shape: explode -> (doc, word) tf groupBy is the
+    one fact shuffle; the document-frequency relation is VOCABULARY-sized
+    and broadcasts back onto tf; top-k plans as WindowGroupLimit (partial
+    top-3 per partition before the window shuffle)."""
+    return _tfidf_topk(spark, sf_dir, broadcast_counts=True)
+
+
+@register("text_tfidf_topk_openvocab", _TFIDF_SQL)
+def text_tfidf_topk_openvocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPEN-VOCABULARY TF-IDF: identical semantics (same oracle SQL), but
+    the document-frequency relation joins via SHUFFLE_HASH instead of a
+    broadcast — the plan a real web corpus forces once the vocabulary (with
+    its Zipf long tail of hapaxes) no longer fits an executor. Both sides
+    shuffle on ``word``; AQE's skew-join split handles the stopword-headed
+    hot keys. Plan evidence (no BroadcastHashJoin on the df join) is
+    asserted in tests/test_curation.py."""
+    return _tfidf_topk(spark, sf_dir, broadcast_counts=False)
 
 
 _LM_QUALITY_SQL = """
@@ -294,18 +314,7 @@ FROM scored GROUP BY 1
 """
 
 
-@register("text_lm_quality", _LM_QUALITY_SQL)
-def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perplexity-proxy quality scoring (the CCNet/KenLM-style curation
-    filter): train corpus-level bigram counts, score each doc by its mean
-    add-1-smoothed bigram log-probability ln((c(w1 w2)+1)/(c(w1)+V)).
-    Low scores = improbable word sequences (garbled or off-distribution
-    text). Scale shape: the bigram/unigram count relations are
-    VOCABULARY-sized (map-side combined aggregates) and broadcast back
-    onto the exploded doc bigrams — the corpus sees one explode + one
-    per-doc combine, never a corpus-to-corpus join; for an open-vocab
-    web corpus the count join falls back to a shuffle join, which AQE
-    skew-splits on stopword-headed bigrams."""
+def _lm_quality(spark: SparkSession, sf_dir: str, broadcast_counts: bool) -> DataFrame:
     from abs_log_spark.functions.similarity import shingles_col
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -315,11 +324,15 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     cbg = bg.groupBy("b").agg(F.count("*").alias("cb"))
     cuni = uni.groupBy("word").agg(F.count("*").alias("cu"))
+    if broadcast_counts:
+        cbg, cuni = F.broadcast(cbg), F.broadcast(cuni)
+    else:
+        cbg, cuni = cbg.hint("shuffle_hash"), cuni.hint("shuffle_hash")
     v = uni.agg(F.count_distinct("word").alias("v"))
     scored = (
-        bg.join(F.broadcast(cbg), "b")
+        bg.join(cbg, "b")
         .join(
-            F.broadcast(cuni),
+            cuni,
             F.element_at(F.split(F.col("b"), " "), 1) == F.col("word"),
         )
         .crossJoin(F.broadcast(v))
@@ -339,6 +352,33 @@ def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_bigrams"),
         F.round(F.sum("lp_q") / 1e6 / F.count("*"), 6).alias("avg_logp"),
     )
+
+
+@register("text_lm_quality", _LM_QUALITY_SQL)
+def text_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring (the CCNet/KenLM-style curation
+    filter): train corpus-level bigram counts, score each doc by its mean
+    add-1-smoothed bigram log-probability ln((c(w1 w2)+1)/(c(w1)+V)).
+    Low scores = improbable word sequences (garbled or off-distribution
+    text). Scale shape: the bigram/unigram count relations are
+    VOCABULARY-sized (map-side combined aggregates) and broadcast back
+    onto the exploded doc bigrams — the corpus sees one explode + one
+    per-doc combine, never a corpus-to-corpus join. Per-bigram log-probs
+    are 1e-6-quantized BIGINTs summed exactly (cross-engine float
+    parity)."""
+    return _lm_quality(spark, sf_dir, broadcast_counts=True)
+
+
+@register("text_lm_quality_openvocab", _LM_QUALITY_SQL)
+def text_lm_quality_openvocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPEN-VOCABULARY LM scoring: identical semantics (same oracle SQL),
+    but the bigram/unigram count relations join via SHUFFLE_HASH — the
+    plan a web-scale corpus forces once bigram counts (Zipf tail) exceed
+    any broadcast threshold. The corpus-side bigrams shuffle on the join
+    key; stopword-headed hot bigrams are exactly the AQE skew-join-split
+    case (enabled session-wide). Plan evidence (no BroadcastHashJoin on
+    either count join) asserted in tests/test_curation.py."""
+    return _lm_quality(spark, sf_dir, broadcast_counts=False)
 
 
 _CURATION_SQL = """

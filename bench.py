@@ -59,9 +59,12 @@ HEADLINE = [
     "curation_sample_stratified",
     "curation_pack_bins",
     "curation_dup_clusters",
+    "curation_dup_clusters_chain",
     "curation_pii_scrub",
     "curation_decontaminate",
     "text_tfidf_topk",
+    "text_lm_quality",
+    "text_lm_quality_openvocab",
     "streaming_minute_agg_fb",
     "streaming_windowed_agg",
 ]

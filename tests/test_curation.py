@@ -102,3 +102,54 @@ def test_scrub_pii_counts_and_placeholders(spark):
     assert (got[2].n_emails, got[2].n_phones) == (0, 2)
     assert got[2].clean_text == "call <PHONE> or <PHONE>"
     assert got[3].clean_text == "clean text only"
+
+
+def test_pointer_jump_resolves_5hop_chain(spark):
+    """mode='pointer_jump' at iters=2 resolves a 5-hop chain to one cluster
+    (reach 2*(d+1) per round = 6 hops); plain propagation at the same iters
+    provably cannot (1 hop/round) — documenting exactly why the mode
+    exists. Non-chain nodes stay singletons in both modes."""
+    from abs_log_spark.operators.curation import near_dup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "doc_a long, doc_b long"
+    )  # 1-2-3-4-5-6: five hops
+    pj = {
+        r.doc_id: r.cluster_id
+        for r in near_dup_clusters(docs, chain, iters=2, mode="pointer_jump").collect()
+    }
+    assert all(pj[i] == 1 for i in range(1, 7)), pj
+    assert pj[7] == 7 and pj[8] == 8
+
+    prop = {
+        r.doc_id: r.cluster_id
+        for r in near_dup_clusters(docs, chain, iters=2, mode="propagate").collect()
+    }
+    assert prop[6] != 1  # 5 hops > iters: propagate has not converged yet
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        near_dup_clusters(docs, chain, mode="nope")
+
+
+def test_openvocab_count_joins_shuffle_not_broadcast(spark):
+    """Open-vocabulary LM/TF-IDF variants: identical results to the
+    broadcast formulation, and the executed (post-AQE) plan carries the
+    count joins as shuffle joins — the shape a web-scale Zipf vocabulary
+    forces. Evidence for round-3 'Missing #2'."""
+    from abs_log_spark.queries.textops import (
+        _lm_quality,
+        _tfidf_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for fn in (_lm_quality, _tfidf_topk):
+        base = fn(spark, sf, broadcast_counts=True)
+        ov = fn(spark, sf, broadcast_counts=False)
+        assert ov.exceptAll(base).count() + base.exceptAll(ov).count() == 0
+        ov.collect()  # materialize so AQE finalizes the physical plan
+        plan = ov._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan[:2000]
+        assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan[:2000]
