@@ -188,3 +188,37 @@ def gen_sources_dim(spark: SparkSession, n_sources: int = N_SOURCES) -> DataFram
         for k in range(n_sources)
     ]
     return spark.createDataFrame(rows, "source string, sink string, site string, region string")
+
+
+def gen_documents(
+    spark: SparkSession,
+    n: int,
+    words: int = 40,
+    vocab: int = 1000,
+    dup_every: int = 10,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic synthetic text corpus for dedup/text-op scaling runs:
+    (doc_id, text) where every word is a closed-form hash of (base_id,
+    position) over a ``vocab``-word vocabulary, and every ``dup_every``-th
+    row is a NEAR-DUPLICATE of its predecessor (same base words, distinct
+    final word) — known positives for MinHash/SimHash at any scale, with
+    bucket sizes ~2 so candidate-pair volume stays linear in ``n`` (the
+    honest throughput shape: signatures dominate, no mega-cluster blowup).
+    Pure Spark expressions over range(n): byte-identical on any cluster
+    size, like gen_sequences."""
+    rng = spark.range(n, numPartitions=partitions) if partitions else spark.range(n)
+    i = F.col("id")
+    is_dup = (i % dup_every == 0) & (i > 0)
+    base = F.when(is_dup, i - 1).otherwise(i)
+
+    def word(j: int):
+        return F.concat(
+            F.lit("w"), F.pmod(F.xxhash64(base, F.lit(j)), F.lit(vocab)).cast("string")
+        )
+
+    last = F.when(~is_dup, word(words - 1)).otherwise(
+        F.concat(F.lit("x"), i.cast("string"))
+    )
+    text = F.concat_ws(" ", *[word(j) for j in range(words - 1)], last)
+    return rng.select(i.alias("doc_id"), text.alias("text"))

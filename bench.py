@@ -129,6 +129,10 @@ def run_pipeline_bench(spark, n_rows: int, warehouse: str) -> dict:
 #: large-core run at ~75s steady state; measured efficiency rose 0.70 ->
 #: 0.77 going 8M -> 24M purely from amortizing those fixed costs.
 SCALING_ROWS = 24_000_000
+#: dedup scaling leg (round-3 verdict ask #7): 4M synthetic docs puts the
+#: local[16] MinHash-LSH run at ~50s steady state — same fixed-cost
+#: amortization argument as the pipeline leg at 24M rows.
+SCALING_DEDUP_DOCS = 4_000_000
 #: reps per JVM per core count: rep0 = JIT warmup (discarded), min of the
 #: rest. Round 2 bumped 3 -> 4 (walls still decaying at rep 3). Round 3
 #: bumped the SHORT leg to 6: host interference arrives in multi-minute
@@ -239,7 +243,52 @@ def run_scaling(n_rows: int = SCALING_ROWS) -> dict:
                         # relative to what the box can deliver at all
                         "cpu_control": control,
                         "efficiency_vs_host_ceiling": round(min(eff / hw, 1.0), 3),
-                        "cores": list(SCALING_CORES)}}
+                        "cores": list(SCALING_CORES),
+                        "dedup_leg": run_scaling_dedup()}}
+
+
+def run_scaling_dedup(n_docs: int = SCALING_DEDUP_DOCS) -> dict:
+    """N-vs-4N evidence for the dedup family (round-3 verdict ask #7): the
+    full MinHash-LSH near-dup query over a stored synthetic corpus with
+    known near-dup structure (gen_documents: every 10th doc a near-copy,
+    bucket sizes ~2 so pair volume is linear — signatures dominate, the
+    honest throughput shape). Same protocol and disclosure discipline as
+    the pipeline leg: one JVM per core count, warm reps, min of the steady
+    reps; the same-window cpu_control from the surrounding run applies."""
+    input_dir = f"/tmp/abslog_scaling_docs_{n_docs}"
+    if not os.path.isdir(input_dir):
+        from abs_log_spark.session import get_spark
+        from abs_log_spark.sources.synth import gen_documents
+
+        spark = get_spark("bench-gen-docs", master=f"local[{CPUS}]")
+        gen_documents(spark, n_docs).repartition(128).write.mode(
+            "overwrite"
+        ).parquet(input_dir)
+        spark.stop()
+
+    n_lo, n_hi = SCALING_CORES
+    results = {}
+    for cores in SCALING_CORES:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "jobs", "run_dedup.py"),
+             "--input", input_dir, "--repeat", str(SCALING_REPS[cores]),
+             "--run-id", f"dedup{cores}", "--master", f"local[{cores}]"],
+            capture_output=True, text=True,
+            env={**os.environ, "PYTHONPATH": REPO,
+                 "SPARK_GRAFT_DRIVER_MEM": "48g"},
+            timeout=3600, check=True,
+        )
+        reps = [json.loads(l) for l in out.stdout.strip().splitlines()
+                if l.startswith("{")]
+        walls = [r["wall_ms"] / 1000.0 for r in reps]
+        steady = min(walls[1:])
+        results[cores] = {"wall_sec_steady": steady, "walls": walls,
+                          "docs_per_sec": round(n_docs / steady, 1),
+                          "n_pairs": reps[0]["n_pairs"]}
+    eff = (results[n_hi]["docs_per_sec"] / results[n_lo]["docs_per_sec"]) / 4.0
+    return {"docs": n_docs, f"local{n_lo}": results[n_lo],
+            f"local{n_hi}": results[n_hi],
+            "efficiency_n_to_4n": round(eff, 3)}
 
 
 #: last `--scaling` measurement, checked in next to the code it measured.
@@ -284,6 +333,9 @@ def load_scaling() -> dict:
         # don't invalidate the measurement
         measured_paths = [
             "jobs/run_pipeline.py",
+            "jobs/run_dedup.py",
+            "abs_log_spark/operators/dedup.py",
+            "abs_log_spark/functions/similarity.py",
             "abs_log_spark/plans",
             "abs_log_spark/operators/aggregate.py",
             "abs_log_spark/operators/enrich.py",
