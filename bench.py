@@ -128,7 +128,13 @@ def run_pipeline_bench(spark, n_rows: int, warehouse: str) -> dict:
 #: that a cluster's per-executor disks would parallelize). 24M rows puts the
 #: large-core run at ~75s steady state; measured efficiency rose 0.70 ->
 #: 0.77 going 8M -> 24M purely from amortizing those fixed costs.
-SCALING_ROWS = 24_000_000
+#: Round 4 bumped 24M -> 48M: the Arrow-parse + zstd work made both legs
+#: ~65-75% faster, so at 24M the local[16] steady wall fell to ~39s and the
+#: fixed component (driver orchestration, small aggregate jobs, compaction)
+#: regained weight — scaling the input WITH the engine keeps the
+#: steady-state criterion measuring data-proportional work (the same reason
+#: 8M -> 24M happened in round 2).
+SCALING_ROWS = 48_000_000
 #: dedup scaling leg (round-3 verdict ask #7): 4M synthetic docs puts the
 #: local[16] MinHash-LSH run at ~50s steady state — same fixed-cost
 #: amortization argument as the pipeline leg at 24M rows.
