@@ -42,6 +42,16 @@ ENGINE_CONFS: dict[str, str] = {
     # local-mode friendly; AQE re-coalesces. On a 1000-executor cluster this
     # would be ~2-3x total cores instead.
     "spark.sql.shuffle.partitions": "64",
+    # Scan partitions must be sized by EXPANDED size, not compressed file
+    # size: the token-array tables expand ~13x from zstd parquet to
+    # in-memory rows (1.8 GB on disk -> ~24 GB of rows at 48M rows), so
+    # Spark's 128 MB default hands each task ~1.6 GB of rows — the
+    # dynamic-partition writer's per-task sort then exceeds the execution
+    # pool once enough tasks run concurrently and the job collapses into
+    # spill thrash (measured: 48M rows at local[16] went 238s -> 83s from
+    # this conf alone; local[4] was unaffected because 4 oversized sorts
+    # still fit). 32 MB compressed ~= 400 MB of rows per task.
+    "spark.sql.files.maxPartitionBytes": "33554432",
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
