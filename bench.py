@@ -108,10 +108,13 @@ def run_pipeline_bench(spark, n_rows: int, warehouse: str) -> dict:
 
     seq = spark.read.parquet(input_dir)
     dim = gen_sources_dim(spark)
-    # min-of-2 in one JVM: this host has 3x external interference spikes
-    # (BASELINE.md protocol); min filters them without hiding real cost.
+    # min-of-3 in one JVM (round 4 bumped 2 -> 3: a single interference
+    # spike can blanket both of two reps — observed 15.5s/15.5s in a window
+    # where adjacent windows measured 12.7-13.5s; this host's episodes are
+    # multi-minute, BASELINE.md protocol). Min filters them without hiding
+    # real cost.
     walls = []
-    for rep in range(2):
+    for rep in range(3):
         shutil.rmtree(warehouse, ignore_errors=True)
         t0 = time.monotonic()
         run_pipeline(spark, Catalog(root=warehouse), seq, dim, run_id=f"bench{rep}",
