@@ -53,8 +53,27 @@ from abs_log_spark.functions.tokens import detokenize_col
 
 #: The declared log format, compiled to one regex — schema-on-read exactly as
 #: abs-log does it, but applied to whole Arrow batches.
+#:
+#: End anchor: ``(?![\s\S])`` (strict end-of-text via negative lookahead, the
+#: one spelling Python re and Java regex agree on) instead of ``$`` — both
+#: engines' ``$`` also matches BEFORE a final line terminator, while RE2's
+#: (the production arrow_udf path and the DuckDB oracle) matches only at
+#: end-of-text. Pinned behavior, parity-tested in tests/test_parse.py: a
+#: token array carrying a trailing newline is INVALID on every path (a
+#: malformed line — counted in invalid_hits, never dropped), identically in
+#: Python re, Java regex, and RE2.
+#:
+#: Numeric groups are exactly as strict as the casts they feed — the regex
+#: IS the validity check, so nothing that matches may fail a cast later:
+#: - rt ``\d+(?:\.\d+)?`` not ``[0-9.]+``: the latter matches ``1.2.3``,
+#:   which then CRASHES the float cast — on the production Arrow path that
+#:   is one malformed log line failing an entire batch (= the whole job at
+#:   100 TB). Now such lines are invalid, counted, never fatal.
+#: - bytes ``\d{1,18}`` not ``\d+``: 19+ digits can overflow int64 and fail
+#:   the cast the same way; no real byte count needs more.
 LINE_PATTERN = (
-    r'^(\S+) - \[([^\]]+)\] "(\S+) (\S+) (\S+)" (\d{3}) (\d+) ([0-9.]+)$'
+    r'^(\S+) - \[([^\]]+)\] "(\S+) (\S+) (\S+)" (\d{3}) (\d{1,18}) '
+    r"(\d+(?:\.\d+)?)(?![\s\S])"
 )
 _LINE_RE = re.compile(LINE_PATTERN)
 
@@ -228,13 +247,15 @@ def parse_arrow_pandas(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
 # arrays — C++ end to end.
 # ---------------------------------------------------------------------------
 
-#: LINE_PATTERN with RE2 named groups (extract_regex needs names; the
-#: pattern body is identical — no lookaround, so Python re / Java regex /
-#: RE2 agree on every line).
+#: LINE_PATTERN with RE2 named groups (extract_regex needs names). RE2 has
+#: no lookahead, so the strict end anchor is plain ``$`` — which in RE2 is
+#: ALREADY strict end-of-text; with LINE_PATTERN's ``(?![\s\S])`` on the
+#: Python/Java side, all three engines now agree on every line, including
+#: lines with trailing terminators (invalid everywhere — see LINE_PATTERN).
 _LINE_PATTERN_NAMED = (
     r'^(?P<ip>\S+) - \[(?P<ts_str>[^\]]+)\] "(?P<method>\S+) '
     r'(?P<target>\S+) (?P<protocol>\S+)" (?P<status>\d{3}) '
-    r"(?P<bytes>\d+) (?P<rt>[0-9.]+)$"
+    r"(?P<bytes>\d{1,18}) (?P<rt>\d+(?:\.\d+)?)$"
 )
 _TARGET_PATTERN_NAMED = r"^(?P<uri>[^?]*)(?:\?(?P<args>.*))?$"
 

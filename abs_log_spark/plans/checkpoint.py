@@ -26,7 +26,23 @@ CHECKPOINT_SCHEMA = (
 )
 
 
+def _heal(cat: Catalog) -> None:
+    """Roll forward any retention swap a previous run crashed inside, BEFORE
+    any checkpoint read or append. Without this, a crash inside
+    expire_buckets' ``_replace_table`` window (live table moved to tombstone,
+    staging not yet promoted) makes the next run see NO checkpoint table:
+    ``completed_partitions`` returns empty, everything re-ingests, and
+    ``mark_done``'s append RECREATES the live table — after which the next
+    ``recover_retention`` classifies the swap as complete and deletes the
+    tombstone, permanently discarding all pre-crash lineage. Healing at
+    every consumer closes that window (round-4 ADVICE, medium)."""
+    from abs_log_spark.operators.retention import recover_retention
+
+    recover_retention(cat, CHECKPOINT_TABLE)
+
+
 def completed_partitions(spark: SparkSession, cat: Catalog, stage: str) -> set[str]:
+    _heal(cat)
     if not cat.exists(CHECKPOINT_TABLE):
         return set()
     rows = (
@@ -75,6 +91,7 @@ def mark_done(
 ) -> None:
     if not partition_keys:
         return
+    _heal(cat)  # never append-recreate a table stranded mid-retention-swap
     rows = [(run_id, stage, str(k), "done") for k in partition_keys]
     df = spark.createDataFrame(
         rows, "run_id string, stage string, partition_key string, status string"

@@ -569,8 +569,14 @@ def run_pipeline(
     # live partials partition belongs to a checkpointed bucket, so folding
     # is safe; a crash inside compaction itself rolls forward/back via the
     # journal (recover_compaction at the next entry).
+    # ... and restricted to CHECKPOINTED buckets (resume's done-set + this
+    # run's just-marked buckets): a backfilled partition whose checkpoint
+    # row was cleared is NOT checkpointed, and folding it would make the
+    # re-ingest pre-pass subtract + re-backfill + re-fold it on every
+    # subsequent run forever (round-4 ADVICE). It stays an own-partition
+    # partial until a run actually checkpoints it.
     if cfg.incremental_agg and cfg.auto_compact:
-        compact_partials(spark, cat)
+        compact_partials(spark, cat, buckets=sorted(done | set(buckets)))
         metrics.mark("compact")
 
     vals = metrics.flush(spark, cat, run_id, buckets)

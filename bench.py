@@ -233,7 +233,9 @@ def run_scaling(n_rows: int = SCALING_ROWS) -> dict:
              "--aligned", "--repeat", str(SCALING_REPS[cores]),
              "--run-id", f"scale{cores}", "--master", f"local[{cores}]"],
             capture_output=True, text=True,
-            env={**os.environ, "PYTHONPATH": REPO,
+            env={**os.environ,
+                 "PYTHONPATH": os.pathsep.join(
+                     p for p in (REPO, os.environ.get("PYTHONPATH")) if p),
                  "SPARK_GRAFT_DRIVER_MEM": "48g"},
             timeout=3600, check=True,
         )
@@ -283,17 +285,29 @@ def run_scaling_dedup(n_docs: int = SCALING_DEDUP_DOCS) -> dict:
              "--input", input_dir, "--repeat", str(SCALING_REPS[cores]),
              "--run-id", f"dedup{cores}", "--master", f"local[{cores}]"],
             capture_output=True, text=True,
-            env={**os.environ, "PYTHONPATH": REPO,
+            env={**os.environ,
+                 "PYTHONPATH": os.pathsep.join(
+                     p for p in (REPO, os.environ.get("PYTHONPATH")) if p),
                  "SPARK_GRAFT_DRIVER_MEM": "48g"},
             timeout=3600, check=True,
         )
         reps = [json.loads(l) for l in out.stdout.strip().splitlines()
                 if l.startswith("{")]
+        # determinism gate backing BASELINE.md's "bit-identical in every
+        # run": every rep of every leg must report the same pair count —
+        # fail loudly, never record a nondeterministic measurement
+        pair_counts = {r["n_pairs"] for r in reps}
+        assert len(pair_counts) == 1, f"nondeterministic pairs at local[{cores}]: {pair_counts}"
         walls = [r["wall_ms"] / 1000.0 for r in reps]
-        steady = min(walls[1:])
+        # min over steady (post-warmup) reps; with a single rep there is no
+        # warmup to discard
+        steady = min(walls[1:]) if len(walls) > 1 else walls[0]
         results[cores] = {"wall_sec_steady": steady, "walls": walls,
                           "docs_per_sec": round(n_docs / steady, 1),
                           "n_pairs": reps[0]["n_pairs"]}
+    assert results[n_lo]["n_pairs"] == results[n_hi]["n_pairs"], (
+        f"pair count differs across parallelism: {results}"
+    )
     eff = (results[n_hi]["docs_per_sec"] / results[n_lo]["docs_per_sec"]) / 4.0
     return {"docs": n_docs, f"local{n_lo}": results[n_lo],
             f"local{n_hi}": results[n_hi],

@@ -278,3 +278,43 @@ def test_multi_run_partials_stay_bounded(spark, tmp_catalog, tmp_path):
                  cfg=PipelineConfig(resume=False, incremental_agg=False,
                                     exact_quantiles=True))
     assert _summaries(spark, tmp_catalog) == _summaries(spark, full_cat)
+
+
+def test_orphaned_backfill_bucket_stays_unfolded(spark, tmp_catalog):
+    """Round-4 ADVICE: the post-run fold is restricted to CHECKPOINTED
+    buckets. An orphaned bucket (routed partition on disk, checkpoint row
+    cleared, absent from the run's input) gets its partials backfilled but
+    must NOT be folded into the consolidated partition — folding it made
+    every subsequent run subtract + re-backfill + re-fold it forever. It
+    stays an own-partition partial, and the system reaches a fixed point."""
+    from abs_log_spark.plans.pipeline import missing_partials_buckets
+
+    seq = gen_sequences(spark, N, invalid_every=10)
+    dim = gen_sources_dim(spark)
+    run_pipeline(spark, tmp_catalog, seq, dim, run_id="r1")  # compacts all 8
+    snap = _summaries(spark, tmp_catalog)
+
+    # orphan bucket 3: checkpoint row cleared, input no longer carries it
+    ck = tmp_catalog.read(spark, "checkpoint").where("partition_key <> '3'")
+    pdf = ck.toPandas()
+    tmp_catalog.drop("checkpoint")
+    spark.createDataFrame(pdf).write.parquet(tmp_catalog.path("checkpoint"))
+    rest = seq.where(F.col("part_bucket") != 3)
+
+    r2 = run_pipeline(spark, tmp_catalog, seq_df=rest, dim=dim, run_id="r2")
+    assert r2["buckets_backfilled"] == 1  # bucket 3 re-aggregated once
+    # ... but NOT folded: it is un-checkpointed, so it keeps its own partition
+    assert tmp_catalog.partition_values("agg_partials") == {
+        str(CONSOLIDATED_BUCKET), "3"
+    }
+    assert "3" not in compacted_buckets(tmp_catalog)
+    assert _summaries(spark, tmp_catalog) == snap
+
+    # fixed point: the next run does no subtract / re-backfill / re-fold
+    r3 = run_pipeline(spark, tmp_catalog, seq_df=rest, dim=dim, run_id="r3")
+    assert r3["buckets_backfilled"] == 0
+    assert tmp_catalog.partition_values("agg_partials") == {
+        str(CONSOLIDATED_BUCKET), "3"
+    }
+    assert missing_partials_buckets(tmp_catalog) == set()
+    assert _summaries(spark, tmp_catalog) == snap

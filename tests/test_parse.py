@@ -88,3 +88,119 @@ def test_tokens_untouched_roundtrip(spark):
     df = spark.createDataFrame([(t,) for t in texts], "t string")
     rt = df.select(detokenize_udf(tokenize_udf(F.col("t"))).alias("rt"), "t")
     assert rt.where(F.col("rt") != F.col("t")).count() == 0
+
+
+def test_trailing_newline_invalid_on_every_path(spark):
+    """Pinned behavior (round-4 ADVICE): a token array carrying a trailing
+    line terminator is INVALID on all three paths identically. Python re and
+    Java regex `$` match before a final newline while RE2's does not; the
+    pattern now anchors with a strict end-of-text lookahead on the
+    Python/Java side so the engines cannot disagree."""
+    from abs_log_spark.functions.parse import parse_arrow_pandas
+
+    lines = [GOOD, GOOD + "\n", GOOD + "\r\n", GOOD + "\n\n", GOOD_NO_ARGS]
+    df = _tok_df(spark, lines)
+    for path in (parse_arrow, parse_arrow_pandas, parse_expr):
+        got = [r.valid for r in path(df).select("valid").collect()]
+        assert got == [True, False, False, False, True], path.__name__
+
+
+def test_regex_matching_cast_hostile_lines_are_invalid_not_fatal(spark):
+    """The regex IS the validity gate: nothing that matches may fail a cast.
+    Before round 5, rt='1.2.3' matched `[0-9.]+` then CRASHED the float
+    cast — one malformed line failing an entire Arrow batch (the whole job
+    at scale). Pinned: multi-dot rt and int64-overflow bytes are invalid on
+    all three paths, counted, never fatal."""
+    from abs_log_spark.functions.parse import parse_arrow_pandas
+
+    lines = [
+        GOOD,
+        '10.0.0.1 - [01/Jan/2024:00:05:07 +0000] "GET /x HTTP/1.1" 200 1234 1.2.3',
+        '10.0.0.1 - [01/Jan/2024:00:05:07 +0000] "GET /x HTTP/1.1" 200 '
+        + "9" * 25 + " 0.5",
+        '10.0.0.1 - [01/Jan/2024:00:05:07 +0000] "GET /x HTTP/1.1" 200 1234 .5',
+        '10.0.0.1 - [01/Jan/2024:00:05:07 +0000] "GET /x HTTP/1.1" 200 1234 5.',
+    ]
+    df = _tok_df(spark, lines)
+    for path in (parse_arrow, parse_arrow_pandas, parse_expr):
+        got = [r.valid for r in path(df).select("valid").collect()]
+        assert got == [True, False, False, False, False], path.__name__
+
+
+def _py_reference_parse(toks):
+    """Independent Python-re reference for one row of tokens."""
+    import re as _re
+
+    from abs_log_spark.functions.parse import LINE_PATTERN
+
+    if toks is None:
+        return None  # all-null row
+    line = "".join(map(chr, toks))
+    m = _re.match(LINE_PATTERN, line)
+    if not m:
+        return {"valid": False}
+    ip, ts_str, method, target, protocol, status, nbytes, rt = m.groups()
+    uri, _, args = target.partition("?")
+    return {
+        "valid": True, "ip": ip, "method": method, "uri": uri, "args": args,
+        "protocol": protocol, "status": int(status), "bytes": int(nbytes),
+        "rt": float(rt),
+    }
+
+
+def test_parse_tokens_batch_property_mixed_batches():
+    """Round-4 verdict ask #6: hypothesis-generated batches MIXING null
+    tokens, non-ASCII code points, empty arrays, valid lines, trailing
+    terminators, and cast-hostile numerics — all through ONE
+    `_parse_tokens_batch` call (forcing the fallback detok route when any
+    row disqualifies the buffer fast path) — must agree with an independent
+    Python-re reference row-for-row and never raise."""
+    import pyarrow as pa
+    from hypothesis import given, settings, strategies as st
+
+    from abs_log_spark.functions.parse import _parse_tokens_batch
+
+    def line_tokens(ip, seg, args, status, nbytes, rt, tail):
+        uri = f"/{seg}" + (f"?{args}" if args is not None else "")
+        s = f'{ip} - [01/Jan/2024:00:05:07 +0000] "GET {uri} HTTP/1.1" {status} {nbytes} {rt}{tail}'
+        return [ord(c) for c in s]
+
+    structured = st.builds(
+        line_tokens,
+        st.sampled_from(["10.0.0.1", "::1", "host-1"]),
+        st.text(st.characters(codec="ascii", exclude_characters=' ?"\n\r',
+                              min_codepoint=33), max_size=8),
+        st.one_of(st.none(), st.sampled_from(["", "a=1", "a=1&b=x", "k="])),
+        st.sampled_from(["200", "404", "500", "99", "2000"]),
+        st.sampled_from(["0", "1234", "9" * 18, "9" * 25]),
+        st.sampled_from(["0.042", "1", "1.2.3", ".5", "5.", "0..1"]),
+        st.sampled_from(["", "\n", "\r\n"]),
+    )
+    garbage = st.lists(
+        st.integers(min_value=0, max_value=0x10FF), max_size=20
+    )  # includes non-ASCII -> disqualifies the buffer fast path for the batch
+    row = st.one_of(st.none(), st.just([]), structured, garbage)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(row, min_size=1, max_size=12))
+    def check(rows):
+        batch = pa.array(rows, type=pa.list_(pa.int32()))
+        out = _parse_tokens_batch(batch)  # must never raise
+        for i, toks in enumerate(rows):
+            ref = _py_reference_parse(toks)
+            got_valid = out.field("valid")[i].as_py()
+            if ref is None:
+                assert got_valid is None or got_valid is False
+                assert out.field("ip")[i].as_py() is None
+                continue
+            assert got_valid == ref["valid"], (toks, ref)
+            if not ref["valid"]:
+                assert out.field("status")[i].as_py() is None
+                assert out.field("uri")[i].as_py() is None
+                continue
+            for f in ("ip", "method", "uri", "args", "protocol",
+                      "status", "bytes"):
+                assert out.field(f)[i].as_py() == ref[f], (f, toks)
+            assert abs(out.field("rt")[i].as_py() - ref["rt"]) < 1e-12
+
+    check()

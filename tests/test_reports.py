@@ -329,3 +329,44 @@ def test_expire_unpartitioned_swap_crash_recovers(spark, tmp_catalog):
         4, 5, 6, 7, 8, 9
     ]
     assert not os.path.isdir(tmp_catalog.path(".minute_agg_u.tombstone"))
+
+
+def test_checkpoint_swap_crash_heals_before_any_consumer(spark, tmp_catalog):
+    """Round-4 ADVICE (medium): a crash inside expire_buckets'
+    checkpoint-table _replace_table window (live table tombstoned, staging
+    not yet promoted) must not silently discard the pre-crash lineage. The
+    failure mode: completed_partitions sees no table -> full re-ingest, and
+    mark_done's append RECREATES the live table, after which recovery
+    classifies the swap complete and deletes the tombstone (rows gone for
+    good). Both checkpoint consumers now heal the swap first."""
+    import os
+
+    from abs_log_spark.plans import checkpoint as ckpt
+
+    ckpt.mark_done(spark, tmp_catalog, "r1", "routed", ["0", "1", "2"])
+    keep = (
+        tmp_catalog.read(spark, ckpt.CHECKPOINT_TABLE)
+        .where(F.col("partition_key") != "2")
+    )
+    tmp_catalog.write(keep, "_checkpoint_retention_staging")
+    # crash point: live moved aside, staging (kept rows) never promoted
+    os.replace(
+        tmp_catalog.path(ckpt.CHECKPOINT_TABLE),
+        tmp_catalog.path(".checkpoint.tombstone"),
+    )
+
+    # reader heals first: resume sees the kept lineage, not an empty table
+    assert ckpt.completed_partitions(spark, tmp_catalog, "routed") == {"0", "1"}
+    assert not os.path.isdir(tmp_catalog.path(".checkpoint.tombstone"))
+
+    # writer path from the same crash state: append must not recreate a
+    # fresh table over a stranded swap
+    os.replace(
+        tmp_catalog.path(ckpt.CHECKPOINT_TABLE),
+        tmp_catalog.path(".checkpoint.tombstone"),
+    )
+    ckpt.mark_done(spark, tmp_catalog, "r2", "routed", ["3"])
+    assert ckpt.completed_partitions(spark, tmp_catalog, "routed") == {
+        "0", "1", "3"
+    }
+    assert not os.path.isdir(tmp_catalog.path(".checkpoint.tombstone"))
