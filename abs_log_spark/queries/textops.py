@@ -233,7 +233,15 @@ SELECT doc_id, word, score, rank FROM (
 """
 
 
-def _tfidf_topk(spark: SparkSession, sf_dir: str, broadcast_counts: bool) -> DataFrame:
+def _tfidf_topk(
+    spark: SparkSession, sf_dir: str, broadcast_counts: bool | None
+) -> DataFrame:
+    """``broadcast_counts``: True = broadcast hint (vocab fits executors),
+    False = shuffle_hash hint (deterministic open-vocab plan for the driver
+    artifact), None = ORGANIC — no hint; the planner picks the join from
+    real statistics vs ``autoBroadcastJoinThreshold``. The organic-crossover
+    test (tests/test_curation.py) runs this mode under a lowered threshold
+    and asserts Spark itself chooses the shuffle join."""
     from pyspark.sql import Window
 
     docs = read_table(spark, sf_dir, "documents")
@@ -242,7 +250,7 @@ def _tfidf_topk(spark: SparkSession, sf_dir: str, broadcast_counts: bool) -> Dat
     dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
     if broadcast_counts:
         dfreq = F.broadcast(dfreq)
-    else:
+    elif broadcast_counts is not None:
         dfreq = dfreq.hint("shuffle_hash")
     n = docs.agg(F.count("*").alias("n"))
     scored = (
@@ -314,7 +322,12 @@ FROM scored GROUP BY 1
 """
 
 
-def _lm_quality(spark: SparkSession, sf_dir: str, broadcast_counts: bool) -> DataFrame:
+def _lm_quality(
+    spark: SparkSession, sf_dir: str, broadcast_counts: bool | None
+) -> DataFrame:
+    """``broadcast_counts`` trivalent exactly as in :func:`_tfidf_topk`:
+    True = broadcast, False = shuffle_hash hint, None = organic (planner
+    decides from statistics; exercised by the crossover test)."""
     from abs_log_spark.functions.similarity import shingles_col
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -326,7 +339,7 @@ def _lm_quality(spark: SparkSession, sf_dir: str, broadcast_counts: bool) -> Dat
     cuni = uni.groupBy("word").agg(F.count("*").alias("cu"))
     if broadcast_counts:
         cbg, cuni = F.broadcast(cbg), F.broadcast(cuni)
-    else:
+    elif broadcast_counts is not None:
         cbg, cuni = cbg.hint("shuffle_hash"), cuni.hint("shuffle_hash")
     v = uni.agg(F.count_distinct("word").alias("v"))
     scored = (
