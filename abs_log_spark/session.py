@@ -39,6 +39,15 @@ ENGINE_CONFS: dict[str, str] = {
     # At 100 TB smaller output also means proportionally less shuffle/IO for
     # every downstream reader.
     "spark.sql.parquet.compression.codec": "zstd",
+    # Encode tuning for the token-array write (measured on the real
+    # dynamic-partition routed write, 4M rows local[8], min-of-3):
+    # zstd level 1 + 4MB pages = 15.45s -> 13.69s (-11%) at IDENTICAL
+    # output size (241 vs 242 MB) — the larger pages give zstd enough
+    # context to offset the level drop, while level 1 cuts encode CPU.
+    # Per-column dictionary disable and row-group size measured neutral
+    # (the token column already overflows parquet's dict and falls back).
+    "spark.hadoop.parquet.compression.codec.zstd.level": "1",
+    "spark.hadoop.parquet.page.size": str(4 << 20),
     # local-mode friendly; AQE re-coalesces. On a 1000-executor cluster this
     # would be ~2-3x total cores instead.
     "spark.sql.shuffle.partitions": "64",
