@@ -195,6 +195,37 @@ def cpu_control(cores=SCALING_CORES, n: int = 20_000_000, reps: int = 3) -> dict
     }
 
 
+#: Guarded-window protocol (round-4 verdict ask #2): before burning a
+#: ~15-minute leg set, probe the host's own 4->16 scaling with the pure-CPU
+#: control; only start when the box itself is delivering >= this ceiling.
+#: Prevents recording an artifact leg inside an interference episode (the
+#: round-4 dedup leg recorded 0.667 in a see-saw window that three adjacent
+#: windows measured at 0.836-0.941).
+GUARD_THRESH = 0.90
+GUARD_SLEEP_S = 240
+GUARD_ATTEMPTS = 10
+
+
+def wait_clean_window(label: str) -> dict:
+    """Probe cpu_control until the host ceiling clears GUARD_THRESH (or
+    attempts run out — then proceed with the best window seen, disclosed).
+    Returns the passing/best control blob + the probe history."""
+    history = []
+    best = None
+    for attempt in range(GUARD_ATTEMPTS):
+        ctl = cpu_control()
+        history.append(ctl["hw_efficiency_n_to_4n"])
+        print(f"[guard:{label}] attempt {attempt}: host ceiling "
+              f"{ctl['hw_efficiency_n_to_4n']}", file=sys.stderr, flush=True)
+        if best is None or ctl["hw_efficiency_n_to_4n"] > best["hw_efficiency_n_to_4n"]:
+            best = ctl
+        if ctl["hw_efficiency_n_to_4n"] >= GUARD_THRESH:
+            break
+        time.sleep(GUARD_SLEEP_S)
+    best["guard_probes"] = history
+    return best
+
+
 def run_scaling(n_rows: int = SCALING_ROWS) -> dict:
     """Same input + code at local[N] vs local[4N]: throughput + efficiency.
 
@@ -222,7 +253,7 @@ def run_scaling(n_rows: int = SCALING_ROWS) -> dict:
         spark.stop()
 
     n_lo, n_hi = SCALING_CORES
-    control = cpu_control()
+    control = wait_clean_window("pipeline")
     results = {}
     for cores in SCALING_CORES:
         wh = f"/tmp/abslog_bench_wh_{cores}"
@@ -265,7 +296,11 @@ def run_scaling_dedup(n_docs: int = SCALING_DEDUP_DOCS) -> dict:
     bucket sizes ~2 so pair volume is linear — signatures dominate, the
     honest throughput shape). Same protocol and disclosure discipline as
     the pipeline leg: one JVM per core count, warm reps, min of the steady
-    reps; the same-window cpu_control from the surrounding run applies."""
+    reps — and its OWN clean-window guard + control (round-4 verdict ask
+    #2): the pipeline legs take ~25 minutes, so the window that admitted
+    them says nothing about the window this leg starts in (exactly how the
+    round-4 artifact recorded a see-saw 0.667 while three adjacent windows
+    measured 0.836-0.941)."""
     input_dir = f"/tmp/abslog_scaling_docs_{n_docs}"
     if not os.path.isdir(input_dir):
         from abs_log_spark.session import get_spark
@@ -278,6 +313,7 @@ def run_scaling_dedup(n_docs: int = SCALING_DEDUP_DOCS) -> dict:
         spark.stop()
 
     n_lo, n_hi = SCALING_CORES
+    control = wait_clean_window("dedup")
     results = {}
     for cores in SCALING_CORES:
         out = subprocess.run(
@@ -309,9 +345,12 @@ def run_scaling_dedup(n_docs: int = SCALING_DEDUP_DOCS) -> dict:
         f"pair count differs across parallelism: {results}"
     )
     eff = (results[n_hi]["docs_per_sec"] / results[n_lo]["docs_per_sec"]) / 4.0
+    hw = control["hw_efficiency_n_to_4n"]
     return {"docs": n_docs, f"local{n_lo}": results[n_lo],
             f"local{n_hi}": results[n_hi],
-            "efficiency_n_to_4n": round(eff, 3)}
+            "efficiency_n_to_4n": round(eff, 3),
+            "cpu_control": control,
+            "efficiency_vs_host_ceiling": round(min(eff / hw, 1.0), 3)}
 
 
 #: last `--scaling` measurement, checked in next to the code it measured.
