@@ -40,6 +40,13 @@ def test_scaling_artifact_shape():
     assert {"rows", "efficiency_n_to_4n", "measured_at_commit"} <= blob.keys()
     assert 0 < blob["efficiency_n_to_4n"] <= 1.0
     assert isinstance(blob["stale"], bool)
+    # round-5 protocol: every leg carries its admission control(s), and the
+    # dedup leg's pair count is identical at both parallelism levels
+    assert "cpu_control" in blob
+    leg = blob.get("dedup_leg")
+    if leg is not None:
+        assert leg["local4"]["n_pairs"] == leg["local16"]["n_pairs"]
+        assert "cpu_control" in leg
     # artifact parses as the checked-in json too
     with open(bench.SCALING_FILE) as f:
         json.load(f)
