@@ -62,16 +62,64 @@ def exploded_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> Data
     return df.select("doc_id", F.explode(shingles_col(F.col(text_col), k)).alias("s"))
 
 
+#: 2^28 — the place value of md5 hex digit 9 when the first 15 digits are
+#: read as one base-16 number: ``u = conv(md5[1:15]) = g * 2^28 + low``,
+#: where ``g = conv(md5[1:8])`` is the classic 32-bit MinHash base hash.
+#: So ``shiftright(u, 28)`` recovers ``g`` EXACTLY — one conv per shingle
+#: serves both the signature path and the verify identity.
+_U_TO_G_SHIFT = 28
+
+
+def hashed_shingle_ids(text: Column, k: int = 3) -> Column:
+    """Shingles hashed to ``array<long>`` of 60-bit ids — the compact
+    identity that replaces raw shingle strings everywhere downstream of
+    the scan. ``u`` = first 15 md5 hex digits as a BIGINT; the MinHash
+    base hash is ``shiftright(u, 28)`` (bit-identical to hashing the first
+    8 digits directly — hex positional arithmetic), and ``u`` itself is
+    the exact-Jaccard verify identity.
+
+    Why: shingle strings are ~40-50 B each; a long is 8 B. The persisted
+    shingle relation and the verify join were the dedup job's dominant
+    storage/shuffle bytes — at 12M docs the string formulation moves
+    multi-GB arrays through the single local disk (a non-core-scaling
+    wall the N-vs-4N legs measure directly; on a cluster it's network +
+    per-executor disks, still ~5x fewer bytes). And ONE ``conv`` per
+    shingle: measured at 2M docs/local[16], a second conv+substring pass
+    costs ~45% of the whole hash stage (conv is an interpreted
+    string-parse per element; md5 itself is only ~15%).
+
+    Collisions: within a doc-pair's union (what could perturb one Jaccard
+    value) ~n^2/2^61 at n shingles — ~4e-13 for n=1000 — and the DuckDB
+    oracle computes the IDENTICAL slice, so a collision would be shared
+    by both engines, never a parity divergence.
+    """
+    return F.transform(
+        shingles_col(text, k),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+
+
 def band_buckets(sig: DataFrame, seeds: int = MINHASH_SEEDS, band_size: int = BAND_SIZE) -> DataFrame:
-    """Signature -> (doc_id, band, bucket) rows; bucket = md5 of the band's
-    hashes. Candidate pairs are docs sharing any (band, bucket)."""
+    """Signature -> (doc_id, band, bucket) rows; bucket = the first 15 md5
+    hex digits of the band's hashes as a 60-bit BIGINT (not the 32-char hex
+    string: the bucket relation is persisted AND shuffled — groupBy for the
+    cap pre-pass, groupBy for member lists — and an 8-byte key is ~5x
+    smaller than the hex string on the wire. 60 bits keep band-local
+    collisions at ~|docs|^2/2^61 — negligible, and the oracle slices the
+    same 15 digits so any collision is shared, never a divergence).
+    Candidate pairs are docs sharing any (band, bucket)."""
     bands = []
     for b in range(seeds // band_size):
         cols = [
             F.col(f"h{b * band_size + j}").cast("string") for j in range(band_size)
         ]
         bands.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("bucket"))
+            F.struct(
+                F.lit(b).alias("band"),
+                F.conv(F.substring(F.md5(F.concat_ws(",", *cols)), 1, 15), 16, 10)
+                .cast("long")
+                .alias("bucket"),
+            )
         )
     return sig.select(
         "doc_id", F.explode(F.array(*bands)).alias("bb")
@@ -349,7 +397,10 @@ MINHASH_B = (17, 1729, 20011, 21001, 22003, 23003, 24001, 94261)
 
 
 def minhash_signature_arr(
-    docs_sh: DataFrame, seeds: int = MINHASH_SEEDS, sh_col: str = "sh"
+    docs_sh: DataFrame,
+    seeds: int = MINHASH_SEEDS,
+    sh_col: str = "sh",
+    hash_col: str | None = None,
 ) -> DataFrame:
     """Signatures computed INSIDE the row, zero shuffle and one scan: each
     shingle is md5-hashed ONCE to a 32-bit int (first 8 hex digits), then
@@ -357,10 +408,20 @@ def minhash_signature_arr(
     array -- h_i = array_min of that. vs hashing per (shingle, seed): 8x
     fewer md5 calls, and at 10^12 docs no |doc|x|shingle|xK rows ever move
     through a shuffle (the exploded+groupBy formulation's cost).
+
+    ``hash_col``: name of an ``array<long>`` column already holding the
+    32-bit base hashes (the ``g`` field of :func:`hashed_shingles_gv`) —
+    used when the caller persists hashed shingles instead of strings, so
+    md5 is not recomputed here. Values are identical to the ``sh_col``
+    path by construction.
     """
-    base = F.transform(
-        F.col(sh_col),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    base = (
+        F.col(hash_col)
+        if hash_col is not None
+        else F.transform(
+            F.col(sh_col),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+        )
     )
 
     def _perm(i: int):

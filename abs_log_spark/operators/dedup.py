@@ -20,9 +20,11 @@ from pyspark.sql import DataFrame, functions as F
 
 from abs_log_spark import cache
 from abs_log_spark.functions.similarity import (
+    _U_TO_G_SHIFT,
     band_buckets,
     candidate_pairs,
     hamming_col,
+    hashed_shingle_ids,
     jaccard_from_arrays,
     minhash_signature_arr,
     oversized_buckets,
@@ -102,12 +104,27 @@ def minhash_lsh_pairs(
     count/log it alongside the pairs so a capped run is never silent; pass
     ``max_bucket_size=None`` to run uncapped.
     """
-    docs_sh = df.select("doc_id", shingles_col(F.col(text_col)).alias("sh"))
+    # Hashed shingle identities, not strings — see hashed_shingle_ids: one
+    # 60-bit long per shingle whose top 32 bits are the minhash base hash.
+    # The persisted relation and every downstream shuffle (bucket groupBys,
+    # verify joins) carry 8 B/shingle instead of ~40-50 B strings; raw
+    # text and raw shingles never leave the scan stage.
+    docs_sh = df.select(
+        "doc_id", hashed_shingle_ids(F.col(text_col)).alias("hs")
+    )
     if materialize_shingles:
         # lifecycle ownership: hand the persisted handle to the caller, or
         # to the session cache registry for whoever drives the action
         docs_sh = _own_persist(docs_sh, persisted_out)
-    sig = minhash_signature_arr(docs_sh)
+    sig = minhash_signature_arr(
+        docs_sh.select(
+            "doc_id",
+            F.transform(
+                F.col("hs"), lambda u: F.shiftright(u, _U_TO_G_SHIFT)
+            ).alias("hg"),
+        ),
+        hash_col="hg",
+    )
     bb = band_buckets(sig)
     if max_bucket_size is not None:
         # the cap adds a second consumer (count pre-pass) and optionally a
@@ -118,7 +135,10 @@ def minhash_lsh_pairs(
         if skipped_out is not None:
             skipped_out.append(oversized_buckets(bb, max_bucket_size))
     cand = candidate_pairs(bb, max_bucket_size)
-    jac = jaccard_from_arrays(cand, docs_sh)
+    # verify over the 60-bit ids: the join ships array<long>, ~5x fewer
+    # bytes than shingle strings through the exchange, straight from the
+    # cached relation
+    jac = jaccard_from_arrays(cand, docs_sh, sh_col="hs")
     return jac.where(F.col("jaccard") >= min_jaccard)
 
 

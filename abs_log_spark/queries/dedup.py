@@ -48,6 +48,12 @@ from abs_log_spark.operators.dedup import DEFAULT_MAX_BUCKET_SIZE as _CAP
 #: States the SAME default mega-bucket cap as the Spark path (buckets with
 #: more than DEFAULT_MAX_BUCKET_SIZE members produce no candidate pairs), so
 #: the guard is checked semantics on both engines, not a silent divergence.
+#: Identities mirror the Spark operator's compact forms EXACTLY
+#: (hashed_shingle_ids / band_buckets): the per-shingle id ``u`` = first 15
+#: md5 hex digits as BIGINT (also the verify identity ``ds.s``); the
+#: minhash base = ``u // 2^28`` = the first 8 digits; bucket = first 15 hex
+#: digits of the band md5 as BIGINT — so a hash collision, were one ever
+#: to occur, is shared by both engines rather than a parity divergence.
 _MINHASH_CTES = f"""
 WITH all_docs AS (
   SELECT doc_id, text FROM documents
@@ -61,8 +67,14 @@ sh AS (
                                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s
   FROM w
 ),
+-- u = first 15 md5 hex digits as BIGINT (the Spark operator's 60-bit
+-- shingle id, hashed_shingle_ids); the 32-bit minhash base is exactly
+-- u // 2^28 (hex positional arithmetic == hashing the first 8 digits)
+us AS (
+  SELECT doc_id, s, ('0x' || substr(md5(s), 1, 15))::BIGINT AS u FROM sh
+),
 hs AS (
-  SELECT doc_id, s, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh
+  SELECT doc_id, s, u, u // 268435456 AS h FROM us
 ),
 sig AS (
   SELECT doc_id,
@@ -77,10 +89,11 @@ sig AS (
   FROM hs GROUP BY 1
 ),
 bb AS (
-  SELECT doc_id, 0 AS band, md5(h0::VARCHAR || ',' || h1::VARCHAR) AS bucket FROM sig
-  UNION ALL SELECT doc_id, 1, md5(h2::VARCHAR || ',' || h3::VARCHAR) FROM sig
-  UNION ALL SELECT doc_id, 2, md5(h4::VARCHAR || ',' || h5::VARCHAR) FROM sig
-  UNION ALL SELECT doc_id, 3, md5(h6::VARCHAR || ',' || h7::VARCHAR) FROM sig
+  SELECT doc_id, 0 AS band,
+         ('0x' || substr(md5(h0::VARCHAR || ',' || h1::VARCHAR), 1, 15))::BIGINT AS bucket FROM sig
+  UNION ALL SELECT doc_id, 1, ('0x' || substr(md5(h2::VARCHAR || ',' || h3::VARCHAR), 1, 15))::BIGINT FROM sig
+  UNION ALL SELECT doc_id, 2, ('0x' || substr(md5(h4::VARCHAR || ',' || h5::VARCHAR), 1, 15))::BIGINT FROM sig
+  UNION ALL SELECT doc_id, 3, ('0x' || substr(md5(h6::VARCHAR || ',' || h7::VARCHAR), 1, 15))::BIGINT FROM sig
 ),
 bbok AS (
   SELECT band, bucket FROM bb GROUP BY 1, 2 HAVING count(*) <= {_CAP}
@@ -91,7 +104,7 @@ cand AS (
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
   JOIN bbok k ON k.band = a.band AND k.bucket = a.bucket
 ),
-ds AS (SELECT DISTINCT doc_id, s FROM sh),
+ds AS (SELECT DISTINCT doc_id, u AS s FROM hs),
 sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS ni
@@ -220,10 +233,11 @@ sig AS (
   FROM hs GROUP BY 1
 ),
 bb AS (
-  SELECT doc_id, 0 AS band, md5(h0::VARCHAR || ',' || h1::VARCHAR) AS bucket FROM sig
-  UNION ALL SELECT doc_id, 1, md5(h2::VARCHAR || ',' || h3::VARCHAR) FROM sig
-  UNION ALL SELECT doc_id, 2, md5(h4::VARCHAR || ',' || h5::VARCHAR) FROM sig
-  UNION ALL SELECT doc_id, 3, md5(h6::VARCHAR || ',' || h7::VARCHAR) FROM sig
+  SELECT doc_id, 0 AS band,
+         ('0x' || substr(md5(h0::VARCHAR || ',' || h1::VARCHAR), 1, 15))::BIGINT AS bucket FROM sig
+  UNION ALL SELECT doc_id, 1, ('0x' || substr(md5(h2::VARCHAR || ',' || h3::VARCHAR), 1, 15))::BIGINT FROM sig
+  UNION ALL SELECT doc_id, 2, ('0x' || substr(md5(h4::VARCHAR || ',' || h5::VARCHAR), 1, 15))::BIGINT FROM sig
+  UNION ALL SELECT doc_id, 3, ('0x' || substr(md5(h6::VARCHAR || ',' || h7::VARCHAR), 1, 15))::BIGINT FROM sig
 ),
 big AS (
   SELECT band, bucket, count(*) AS n FROM bb GROUP BY 1, 2 HAVING count(*) > 50
@@ -272,19 +286,24 @@ _NGRAM_SQL = (
     _MINHASH_CTES
     + """
 , myc AS (SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b FROM documents),
+-- the standalone verifier operates on RAW shingle strings (exact_jaccard /
+-- exploded_shingles), so its oracle does too — unlike the LSH pipeline's
+-- hashed ``ds`` above, which mirrors the operator's compact identities
+dss AS (SELECT DISTINCT doc_id, s FROM sh),
+nsizes AS (SELECT doc_id, count(*) AS n FROM dss GROUP BY 1),
 myinter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS ni
   FROM myc c
-  JOIN ds sa ON sa.doc_id = c.doc_a
-  JOIN ds sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+  JOIN dss sa ON sa.doc_id = c.doc_a
+  JOIN dss sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
   GROUP BY 1, 2
 )
 SELECT c.doc_a, c.doc_b,
        round(COALESCE(i.ni, 0) / (na.n + nb.n - COALESCE(i.ni, 0)), 6) AS jaccard
 FROM myc c
 LEFT JOIN myinter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-JOIN sizes na ON na.doc_id = c.doc_a
-JOIN sizes nb ON nb.doc_id = c.doc_b
+JOIN nsizes na ON na.doc_id = c.doc_a
+JOIN nsizes nb ON nb.doc_id = c.doc_b
 """
 )
 
