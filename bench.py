@@ -462,10 +462,18 @@ def main() -> int:
         ).save()
         cache.release_all()
 
+    # bracket the timed pass with the pure-CPU host control (round-4
+    # verdict "what's wrong" #1: per-query drift between round artifacts is
+    # only interpretable if the artifact itself records how the host was
+    # scaling while it ran). One rep per probe (~5 s each, OUTSIDE the
+    # timed window): pre/post ceilings near the ~0.97 clean mark say the
+    # numbers are engine truth; a sub-0.9 probe says discount the drift.
+    host_pre = cpu_control(reps=1)
     t0 = time.monotonic()
     queries = run_headline(spark, SF_DIR)
     extras = run_pipeline_bench(spark, n_rows, "/tmp/abslog_bench_wh")
     total = round(time.monotonic() - t0, 3)
+    extras["host_control"] = {"pre": host_pre, "post": cpu_control(reps=1)}
     spark.stop()
 
     if args.scaling:
