@@ -150,17 +150,26 @@ def decontaminate(
     shingle set is tiny — it BROADCASTS; the corpus side explodes its
     distinct shingles once and semi-joins map-side, so the only shuffle is
     the per-doc hit count (map-side combined). Never joins corpus-to-corpus.
+
+    Shingles travel as 60-bit hashed ids (``hashed_shingle_ids``), not
+    strings: the broadcast table and the exploded corpus relation carry
+    8 B/shingle instead of ~30-60 B 5-gram strings (~5x smaller broadcast
+    to every executor), and the oracle computes the identical md5 slice so
+    a collision would be shared, never a parity divergence.
     """
-    from abs_log_spark.functions.similarity import shingles_col
+    from abs_log_spark.functions.similarity import hashed_shingle_ids
 
     bench_sh = (
         benchmark.select(
-            F.explode(F.array_distinct(shingles_col(F.col(text_col), k))).alias("s")
+            F.explode(
+                F.array_distinct(hashed_shingle_ids(F.col(text_col), k))
+            ).alias("s")
         )
         .distinct()
     )
     corp_sh = corpus.select(
-        "doc_id", F.explode(F.array_distinct(shingles_col(F.col(text_col), k))).alias("s")
+        "doc_id",
+        F.explode(F.array_distinct(hashed_shingle_ids(F.col(text_col), k))).alias("s"),
     )
     return (
         corp_sh.join(F.broadcast(bench_sh), "s")

@@ -189,16 +189,19 @@ corpus AS (
   SELECT doc_id + 3000000, 'zz qq ' || text FROM bench  -- injected contamination
 ),
 bw AS (SELECT string_split(text, ' ') AS ws FROM bench),
+-- shingles travel as 60-bit md5-slice ids, mirroring the Spark operator
+-- (hashed_shingle_ids): identical hash both engines, so any collision is
+-- shared rather than a parity divergence
 bs AS (
-  SELECT DISTINCT unnest(list_transform(generate_series(1, greatest(len(ws) - 4, 0)),
-    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS s
+  SELECT DISTINCT ('0x' || substr(md5(unnest(list_transform(generate_series(1, greatest(len(ws) - 4, 0)),
+    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]))), 1, 15))::BIGINT AS s
   FROM bw
 ),
 cw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
 cs AS (
   SELECT DISTINCT doc_id,
-    unnest(list_transform(generate_series(1, greatest(len(ws) - 4, 0)),
-      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS s
+    ('0x' || substr(md5(unnest(list_transform(generate_series(1, greatest(len(ws) - 4, 0)),
+      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]))), 1, 15))::BIGINT AS s
   FROM cw
 )
 SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hits

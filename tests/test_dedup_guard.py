@@ -156,3 +156,71 @@ def test_default_cap_survives_10k_cluster_simhash(spark):
     assert len(rows) == 4 and all(r.n_members == 10_000 for r in rows)
     for h in handle:
         h.unpersist()
+
+
+def test_hashed_ids_match_string_reference_formulation(spark):
+    """The 60-bit hashed-shingle formulation (hashed_shingle_ids, commit
+    4d8b006) must produce the IDENTICAL pair set and jaccard values as a
+    reference pipeline built on raw shingle strings — the pre-optimization
+    formulation: string shingles persisted, minhash base hashed per
+    signature via md5's first 8 hex digits, verify over string arrays.
+    Pins both the shiftright(u, 28) == conv(md5[1:8]) arithmetic and the
+    claim that hashing changes bytes-on-the-wire, never semantics."""
+    from abs_log_spark.functions.similarity import (
+        _U_TO_G_SHIFT,
+        band_buckets,
+        hashed_shingle_ids,
+        jaccard_from_arrays,
+        minhash_signature_arr,
+        shingles_col,
+    )
+    from abs_log_spark.operators.dedup import with_near_dup_copies
+
+    docs = spark.range(80).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("the quick brown fox jumps over the lazy dog near"),
+            F.col("id").cast("string"),
+            F.lit("and then some filler words follow here for shingling"),
+            (F.col("id") % 7).cast("string"),
+        ).alias("text"),
+    )
+    alld = with_near_dup_copies(docs)
+
+    # reference: raw-string shingles end to end (md5 path inside
+    # minhash_signature_arr, string-array exact-Jaccard verify)
+    sh_str = alld.select("doc_id", shingles_col(F.col("text")).alias("sh"))
+    cand_ref = candidate_pairs(band_buckets(minhash_signature_arr(sh_str)), 512)
+    ref = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_from_arrays(cand_ref, sh_str)
+        .where(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs(alld, min_jaccard=0.5).collect()
+    }
+    assert got == ref and len(got) > 0
+
+    # the arithmetic identity itself: top 32 bits of the 60-bit id ARE the
+    # first-8-hex-digit hash, as exact multisets
+    a = alld.select(
+        F.explode(
+            F.transform(
+                hashed_shingle_ids(F.col("text")),
+                lambda u: F.shiftright(u, _U_TO_G_SHIFT),
+            )
+        ).alias("g")
+    )
+    b = alld.select(
+        F.explode(
+            F.transform(
+                shingles_col(F.col("text")),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+            )
+        ).alias("g")
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
