@@ -102,9 +102,23 @@ def near_dup_clusters(
     corpus sized."""
     if mode not in ("propagate", "pointer_jump"):
         raise ValueError(f"unknown mode {mode!r}")
+    from abs_log_spark import cache
+
+    # The pair set is referenced TWICE by the edge union, and each round
+    # references the label relation twice (gather + left join; three times
+    # for pointer_jump) — without persistence the whole upstream pair
+    # detection (LSH candidate + verify joins when the caller feeds us
+    # minhash_lsh_pairs output) re-executes once per reference, compounding
+    # per round. Both relations are tiny (edge-set and 2-column labels), so
+    # persist them: the expensive detection runs exactly once, every round
+    # reads cached rows. Lifecycle via the session cache registry, same
+    # contract as the dedup operators (bench/jobs call release_all()).
+    pairs = cache.track(pairs.persist())
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
     lab = docs.select(F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id"))
     for _ in range(iters):
         nb_min = (
@@ -132,6 +146,10 @@ def near_dup_clusters(
             lab = lab.join(hop, lab.cluster_id == hop.p_id).select(
                 "id", F.col("p_label").alias("cluster_id")
             )
+        # each round's label relation feeds the next round's gather AND its
+        # left join (AND the shortcut self-join for pointer_jump): persist
+        # it so a round's work is computed once, not 2^rounds times
+        lab = cache.track(lab.persist())
     return lab.select(F.col("id").alias(id_col), "cluster_id")
 
 

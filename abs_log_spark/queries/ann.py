@@ -40,7 +40,7 @@ SELECT q_id, vec_id, cosine, rank FROM (
 @register("ann_knn_bruteforce", _KNN_SQL)
 def ann_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for query vectors vec_id<5 (the ANN baseline)."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings", spread=True)
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
     )
@@ -84,7 +84,7 @@ def ann_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via deterministic hyperplane-LSH buckets (16 buckets, search only
     the query's bucket) — the scale path; recall vs the brute-force baseline
     is observable by comparing the two queries."""
-    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = read_table(spark, sf_dir, "embeddings", spread=True).select("vec_id", "embedding")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
     )
@@ -115,7 +115,7 @@ SELECT vec_a, vec_b, cosine FROM (
 def ann_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup within label blocks; known positives are
     first-element-negated copies (cos = 1 - 2*e0^2/|e|^2, typically > 0.9)."""
-    emb = read_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 4 == 0)
+    emb = read_table(spark, sf_dir, "embeddings", spread=True).where(F.col("vec_id") % 4 == 0)
     e = F.col("embedding")
     mutated = emb.select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
@@ -158,7 +158,7 @@ def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids) + per-list occupancy — the partition-routing half of an IVF
     index. The oracle restates the argmax as a row_number window over the
     same dot products (ties: first max wins = lowest l on both sides)."""
-    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = read_table(spark, sf_dir, "embeddings", spread=True).select("vec_id", "embedding")
     assigned = centroid_ivf_assign(emb, n_lists=16)
     return assigned.groupBy("ivf_list").agg(
         F.count("*").alias("n_vectors"),
@@ -226,7 +226,7 @@ def ann_ivf_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-4-quantized integer sums (exact, shuffle-order-independent). The
     oracle replays the IDENTICAL two iterations in SQL — parity proves the
     distributed train/assign loop bit-exact, independent of convergence."""
-    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = read_table(spark, sf_dir, "embeddings", spread=True).select("vec_id", "embedding")
     assigned = kmeans_ivf_assign(emb, n_lists=8, iters=2)
     return assigned.groupBy("ivf_list").agg(
         F.count("*").alias("n_vectors"),
@@ -277,7 +277,7 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full IVF search: assign corpus to 16 pseudo-centroid lists, probe the
     query's 4 best lists, exact cosine inside them — the standard
     recall/cost dial (nprobe/n_lists) over partition-pruned data."""
-    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = read_table(spark, sf_dir, "embeddings", spread=True).select("vec_id", "embedding")
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding")
     )

@@ -36,7 +36,7 @@ def curation_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebalance for a training mix. Hash-of-key sampling (not rand()) is
     retry-stable and engine-reproducible; the oracle re-derives the exact
     keep set."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     sources = docs.sparkSession.createDataFrame(
         [(f"src{k}", 10 if k == 0 else 50) for k in range(20)],
         "source string, rate_pct int",
@@ -116,9 +116,15 @@ def curation_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     convergence."""
     from abs_log_spark.operators.dedup import minhash_lsh_pairs, with_near_dup_copies
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     all_docs = with_near_dup_copies(docs)
-    pairs = minhash_lsh_pairs(all_docs, min_jaccard=0.5).select("doc_a", "doc_b")
+    # materialize_shingles=False: same measured trade-off as
+    # dedup_minhash_lsh (the pair relation itself is persisted inside
+    # near_dup_clusters, so the shingle cache would be read only while
+    # pairs materialize — not worth its serialization cost here)
+    pairs = minhash_lsh_pairs(
+        all_docs, min_jaccard=0.5, materialize_shingles=False
+    ).select("doc_a", "doc_b")
     clusters = near_dup_clusters(all_docs, pairs)
     return (
         clusters.groupBy("cluster_id")
@@ -216,7 +222,7 @@ def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated copies are injected at doc_id+3e6 as known positives).
     The benchmark shingle set is tiny and BROADCASTS — the corpus is never
     self-joined; see operators.curation.decontaminate."""
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = read_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     bench = docs.where(F.col("doc_id") < 20)
     corpus = docs.where(F.col("doc_id") >= 20).unionByName(
         bench.select(
@@ -255,7 +261,7 @@ def curation_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic email+phone into every 3rd doc, scrub both with typed
     placeholders, and verify the exact cleaned text via md5 signature —
     regex dialect parity (Java vs RE2) is part of what the oracle checks."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     injected = docs.select(
         "doc_id",
         F.when(

@@ -37,6 +37,9 @@ GROUP BY 1
 def dedup_exact_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup (hash-groupBy on md5(text)): every doc gets an exact copy
     at doc_id+1e6; the survivor must be the original (min id)."""
+    # no spread here: md5-per-row is cheap relative to shuffling the text,
+    # and the fingerprint groupBy is the query's only real work (measured:
+    # spread made this query 0.55 -> 1.43 s at sf1.0)
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     copies = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
     return dedup_exact(docs.unionByName(copies))
@@ -135,8 +138,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (md5->32-bit int, 8 affine permutations) + LSH banding (4x2)
     -> candidate pairs -> exact-Jaccard verify >= 0.5. Mutated tail-append
     copies are the known positives (J ~= (n-2)/(n+1))."""
-    docs = read_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(with_near_dup_copies(docs), min_jaccard=0.5)
+    docs = read_table(spark, sf_dir, "documents", spread=True)
+    # materialize_shingles=False: with the spread scan, recomputing the
+    # hashed-shingle relation for its 3 consumers (~0.9 s/pass at sf1.0)
+    # is cheaper than serializing it into executor storage (~3.6 s persist
+    # write) — measured single-pass 11.1 -> 5.3 s. The operator default
+    # stays True (the 12M-doc scaling job keeps the persist/write-to-table
+    # shape that wins when the corpus no longer recomputes in seconds).
+    return minhash_lsh_pairs(
+        with_near_dup_copies(docs), min_jaccard=0.5, materialize_shingles=False
+    )
 
 
 _SIMHASH_SQL = f"""
@@ -196,7 +207,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-bit chunk LSH -> Hamming <= 12 near-dup pairs. The oracle restates
     the signature via the hex-digit/divisor bit formula — equality proves
     the in-row binary-string path computes the identical signature."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     out = simhash_pairs(with_near_dup_copies(docs), max_hamming=12)
     return out.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
 
@@ -264,7 +275,7 @@ def dedup_lsh_skew_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingles_col,
     )
 
-    base = read_table(spark, sf_dir, "documents").select(
+    base = read_table(spark, sf_dir, "documents", spread=True).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
     seed = base.orderBy("doc_id").limit(1).select("text")
@@ -314,7 +325,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, mutated-copy) pair): the standalone verifier operator."""
     from abs_log_spark.functions.similarity import exact_jaccard, exploded_shingles
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     all_docs = with_near_dup_copies(docs)
     pairs = docs.select(
         F.col("doc_id").alias("doc_a"),

@@ -51,7 +51,7 @@ FROM scored
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-hit language ID (max score, ties -> lang code ascending,
     zero -> unknown)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return docs.select(
         "doc_id", "lang", lang_id_col(F.col("text")).alias("lang_pred")
     )
@@ -75,7 +75,7 @@ FROM documents
 @register("text_stats_quality", _STATS_SQL)
 def text_stats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char/word/BPE-ish token counts + composite quality score."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -101,7 +101,7 @@ FROM documents
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprints: md5 + polynomial rolling hash over code points
     (the builtin ``aggregate`` fold; oracle uses list_reduce — same fold)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return docs.select(
         "doc_id",
         fingerprint_md5_col(F.col("text")).alias("fp_md5"),
@@ -128,7 +128,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     abs_log_spark.multimodal), metadata checked against byte-level SQL."""
     from abs_log_spark.multimodal import attach_payload, extract_features
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return extract_features(attach_payload(docs))
 
 
@@ -148,7 +148,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary-derived out); byte-level md5 checked against the oracle."""
     from abs_log_spark.multimodal import attach_payload, resize_images
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return resize_images(attach_payload(docs), width=32, height=8)
 
 
@@ -174,7 +174,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked against the oracle."""
     from abs_log_spark.multimodal import attach_payload, sample_frames
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     return sample_frames(attach_payload(docs), every=2)
 
 
@@ -205,7 +205,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is a pure map over the corpus scan."""
     from abs_log_spark.functions.similarity import shingles_col
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     sh = shingles_col(F.col("text"))
     ns = F.size(sh)
     nd = F.size(F.array_distinct(sh))
@@ -244,7 +244,7 @@ def _tfidf_topk(
     and asserts Spark itself chooses the shuffle join."""
     from pyspark.sql import Window
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
@@ -330,7 +330,7 @@ def _lm_quality(
     decides from statistics; exercised by the crossover test)."""
     from abs_log_spark.functions.similarity import shingles_col
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = read_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     bg = docs.select(
         "doc_id", F.explode(shingles_col(F.col("text"), k=2)).alias("b")
     )
@@ -433,7 +433,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization."""
     from abs_log_spark.operators.dedup import dedup_exact
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    docs = read_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text", "lang")
     all_docs = docs.unionByName(
         docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang")
     )

@@ -31,8 +31,73 @@ TABLES = (
 )
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+#: Above this on-disk size a table is assumed to carry enough row groups to
+#: scan in parallel on its own, so ``spread`` never shuffles it — the guard
+#: that keeps the local-fixture fix a no-op at production scale (a 100 TB
+#: table is thousands of row groups; repartitioning it would be a full
+#: payload shuffle for nothing).
+SPREAD_MAX_BYTES = int(os.environ.get("ABSLOG_SPREAD_MAX_BYTES", str(256 << 20)))
+
+
+def _scan_spread_units(path: str) -> tuple[int, int]:
+    """(total_bytes, splittable_units) for a parquet file or directory.
+
+    ``splittable_units`` = number of row groups (the real ceiling on scan
+    parallelism: Spark assigns whole row groups to split byte-ranges, so a
+    50k-row single-row-group file scans on ONE core no matter how many
+    splits the size formula produces). Footer reads are driver-side and
+    ~ms; capped at 64 files — past that the answer is already "plenty".
+    """
+    if os.path.isfile(path):
+        files = [path]
+    else:
+        files = [
+            os.path.join(path, f)
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+    total = sum(os.path.getsize(f) for f in files)
+    if len(files) > 64:
+        return total, len(files)
+    try:
+        import pyarrow.parquet as pq
+
+        units = sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
+    except Exception:
+        units = len(files)
+    return total, units
+
+
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Read a driver table; ``spread=True`` opts compute-heavy consumers into
+    an explicit round-robin repartition to the session's core count when the
+    file's own layout cannot feed that many scan tasks.
+
+    Why: the driver fixtures are single-file, single-ROW-GROUP parquet
+    (sf1.0 documents = 50k rows in one row group), and a row group is the
+    atomic split unit — so every per-row-expensive stage (md5 shingling,
+    signature folds, Arrow UDFs) otherwise runs on 1-2 of the session's
+    cores regardless of ``maxPartitionBytes``. The repartition shuffles a
+    few MB once to unlock N-way compute (guide §2.3: shuffle small bytes to
+    move the work, not the other way around). Scale-adaptive on both axes:
+    partition count = ``defaultParallelism`` (never a tuned constant), and
+    tables that are big enough to carry their own parallelism
+    (>= SPREAD_MAX_BYTES, or >= cores row groups / files) are left alone,
+    so on a real multi-TB table this is exactly the plain scan.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if spread:
+        n = spark.sparkContext.defaultParallelism
+        try:
+            total, units = _scan_spread_units(path)
+        except OSError:
+            return df
+        if total < SPREAD_MAX_BYTES and units < n:
+            df = df.repartition(n)
+    return df
 
 
 def sequences_from_documents(
@@ -67,8 +132,24 @@ def sequences_from_documents(
             sequences_from_documents(spark, sf_dir, materialized=False).write.mode(
                 "overwrite"
             ).parquet(cache)
-        return spark.read.parquet(cache)
-    docs = read_table(spark, sf_dir, "documents")
+        df = spark.read.parquet(cache)
+        # a pre-existing cache may be a single file/row group (the layout
+        # every round before this one wrote): spread it on read exactly as
+        # read_table does, so the Arrow parse + aggregate stages downstream
+        # get the session's full parallelism. Newly-built caches inherit the
+        # spread derivation below (n files) and skip this as not worthwhile.
+        n = spark.sparkContext.defaultParallelism
+        try:
+            total, units = _scan_spread_units(cache)
+            if total < SPREAD_MAX_BYTES and units < n:
+                df = df.repartition(n)
+        except OSError:
+            pass
+        return df
+    # spread the source scan: the line render + tokenize are per-row heavy,
+    # and with spread the derived relation carries defaultParallelism
+    # partitions into the cache write (n files, one row group each)
+    docs = read_table(spark, sf_dir, "documents", spread=True)
     i = F.col("doc_id").cast("long")
     line = log_line_expr(i)
     return docs.select(
