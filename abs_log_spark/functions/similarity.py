@@ -266,27 +266,26 @@ def simhash_signature(
     )
     # PACKED accumulators: one long per md5 hex char, carrying that nibble's
     # 4 bit-counters in 16-bit lanes (lane j = 2*bit(4i+j), doubled so the
-    # final sign test is `2*sum(bit) > n_features` with no -1 terms). A
-    # LITERAL 16-entry map turns each hex char into its packed long — per
-    # feature that's bits/4 map lookups + a bits/4-long zip_with, 4x fewer
-    # adds and allocations than per-bit arrays (measured 3.2s -> 2.2s at
-    # 10k docs; the original binary-string/char-compare form was 12s).
-    # Lane width caps features at 32767 distinct shingles per doc; enforced
-    # at runtime below (SIMHASH_MAX_FEATURES) — an over-limit doc would
-    # overflow a lane into the adjacent bit's counter and SILENTLY corrupt
-    # the signature, so it raises instead (filter/length-screen such docs
-    # upstream; a 32k-shingle doc needs screening anyway).
-    nibble_map = F.create_map(
-        *[
-            c
-            for d, ch in enumerate(HEX_DIGITS)
-            for c in (
-                F.lit(ch),
-                F.lit(
-                    sum((2 * ((d >> (3 - j)) & 1)) << (16 * j) for j in range(4))
-                ).cast("long"),
-            )
-        ]
+    # final sign test is `2*sum(bit) > n_features` with no -1 terms). Each
+    # hex char becomes its packed long via an ascii()-INDEXED literal array
+    # (element_at(arr, ascii(c) - 47): '0'..'9' land at 1..10, 'a'..'f' at
+    # 50..55, gaps zero-filled) — O(1) position lookup, where the previous
+    # 16-entry string map scanned up to 16 UTF8String compares per nibble
+    # (round-6 measurement: ~20% off the signature stage at sf1.0,
+    # bit-identical output). Per feature that's bits/4 array lookups + a
+    # bits/4-long zip_with, 4x fewer adds and allocations than per-bit
+    # arrays (the original binary-string/char-compare form was 12s at 10k
+    # docs). Lane width caps features at 32767 distinct shingles per doc;
+    # enforced at runtime below (SIMHASH_MAX_FEATURES) — an over-limit doc
+    # would overflow a lane into the adjacent bit's counter and SILENTLY
+    # corrupt the signature, so it raises instead (filter/length-screen
+    # such docs upstream; a 32k-shingle doc needs screening anyway).
+    packed_by_pos = {
+        ord(ch) - 47: sum((2 * ((d >> (3 - j)) & 1)) << (16 * j) for j in range(4))
+        for d, ch in enumerate(HEX_DIGITS)
+    }
+    nibble_arr = F.array(
+        *[F.lit(packed_by_pos.get(i, 0)).cast("long") for i in range(1, 56)]
     )
     # bind md5(s) ONCE per feature via a 1-element transform (HOF lambdas
     # are interpreted — a bare md5(s) inside the per-nibble lambda would
@@ -296,7 +295,9 @@ def simhash_signature(
             F.array(F.substring(F.md5(s), 1, n_nibbles)),
             lambda hx: F.transform(
                 F.sequence(F.lit(1), F.lit(n_nibbles)),
-                lambda i: F.element_at(nibble_map, F.substring(hx, i, F.lit(1))),
+                lambda i: F.element_at(
+                    nibble_arr, F.ascii(F.substring(hx, i, F.lit(1))) - 47
+                ),
             ),
         ),
         1,

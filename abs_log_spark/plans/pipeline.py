@@ -512,14 +512,20 @@ def run_pipeline(
     processed_any = bool(moved)
 
     # Buckets in this increment come from the promoted dir names — zero
-    # extra Spark jobs. mark_done happens AFTER the aggregate stage below:
-    # checkpointing first opened a crash window where a bucket was recorded
-    # done but its agg_partials were never written, so a resumed run skipped
-    # it and rebuild_summaries silently omitted its rows forever. Both the
-    # routed promote and the dynamic-partition-overwrite partials write are
-    # idempotent under bucket re-run, so crash-before-mark_done just re-runs
-    # the bucket. Belt-and-braces, missing_partials_buckets() also detects
-    # and heals any routed-done-but-partials-absent bucket on the next run.
+    # extra Spark jobs. Ordering invariant (round 5): on the incremental
+    # path mark_done runs AFTER the routed promote + partials write but
+    # BEFORE compaction and rebuild_summaries (one fold per run; summaries
+    # are stale-until-next-entry after a crash, never wrong). Only the full
+    # path checkpoints last. Do NOT "restore" a mark_done-after-aggregate
+    # ordering — that reintroduces the double fold. Checkpointing before
+    # the partials write stays forbidden either way: it opened a crash
+    # window where a bucket was recorded done but its agg_partials were
+    # never written, so a resumed run skipped it and rebuild_summaries
+    # silently omitted its rows forever. Both the routed promote and the
+    # dynamic-partition-overwrite partials write are idempotent under
+    # bucket re-run, so crash-before-mark_done just re-runs the bucket.
+    # Belt-and-braces, missing_partials_buckets() also detects and heals
+    # any routed-done-but-partials-absent bucket on the next run.
     buckets = sorted(
         {d.split("=", 1)[1] for dirs in moved.values() for d in dirs if "=" in d}
     )

@@ -36,7 +36,9 @@ def curation_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebalance for a training mix. Hash-of-key sampling (not rand()) is
     retry-stable and engine-reproducible; the oracle re-derives the exact
     keep set."""
-    docs = read_table(spark, sf_dir, "documents", spread=True)
+    # no spread: the sampling filter is a cheap map (one md5 per row) and
+    # the per-source aggregate combines map-side — measured a wash at sf1.0
+    docs = read_table(spark, sf_dir, "documents")
     sources = docs.sparkSession.createDataFrame(
         [(f"src{k}", 10 if k == 0 else 50) for k in range(20)],
         "source string, rate_pct int",

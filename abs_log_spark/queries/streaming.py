@@ -27,15 +27,19 @@ from abs_log_spark.streaming import merge_stream_partials, run_stream_foreach_ba
 
 @register("streaming_minute_agg_fb", _PIPELINE_E2E_SQL)
 def streaming_minute_agg_fb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Micro-batched streaming pipeline vs the batch oracle: 4-file input,
-    maxFilesPerTrigger=2 => 2 micro-batches whose histogram partials must
+    """Micro-batched streaming pipeline vs the batch oracle: 16-file input,
+    maxFilesPerTrigger=8 => 2 micro-batches whose histogram partials must
     merge to EXACTLY the single-pass aggregate — including the exact
     quantile columns, which now survive the cross-batch merge (the oracle
-    is the identical closed-form SQL the batch flagship uses)."""
+    is the identical closed-form SQL the batch flagship uses). 16/8, not
+    the round-5 4/2: a parquet file is the micro-batch scan's split unit,
+    so 2 files per trigger capped each batch's Arrow-parse stage at 2 cores;
+    8 files per trigger keeps the SAME two-micro-batch shape while the
+    parse uses 8 (merged output identical — the fold is batch-agnostic)."""
     work = tempfile.mkdtemp(prefix="abslog_stream_q_")
     input_dir = os.path.join(work, "input")
     seq = sequences_from_documents(spark, sf_dir)
-    seq.repartition(4).write.parquet(input_dir)
+    seq.repartition(16).write.parquet(input_dir)
 
     cat = Catalog(root=os.path.join(work, "wh"))
     dim = gen_sources_dim(spark, n_sources=20)
@@ -46,7 +50,7 @@ def streaming_minute_agg_fb(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim,
         checkpoint_dir=os.path.join(work, "ckpt"),
         cfg=PipelineConfig(),
-        max_files_per_trigger=2,
+        max_files_per_trigger=8,
     )
     q.awaitTermination()
 
@@ -132,7 +136,9 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="abslog_stream_w_")
     input_dir = os.path.join(work, "input")
-    sequences_from_documents(spark, sf_dir).repartition(4).write.parquet(input_dir)
+    # 16 files, not 4: the single availableNow batch scans one file per
+    # task, so the file count IS the parse stage's parallelism
+    sequences_from_documents(spark, sf_dir).repartition(16).write.parquet(input_dir)
 
     agg = streaming_minute_agg(
         read_sequence_stream(spark, input_dir), gen_sources_dim(spark, n_sources=20)

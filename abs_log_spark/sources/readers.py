@@ -133,15 +133,23 @@ def sequences_from_documents(
                 "overwrite"
             ).parquet(cache)
         df = spark.read.parquet(cache)
-        # a pre-existing cache may be a single file/row group (the layout
-        # every round before this one wrote): spread it on read exactly as
-        # read_table does, so the Arrow parse + aggregate stages downstream
-        # get the session's full parallelism. Newly-built caches inherit the
-        # spread derivation below (n files) and skip this as not worthwhile.
-        n = spark.sparkContext.defaultParallelism
+        # Rebalance the scan for the Arrow-parse consumers. Unlike the
+        # md5/HOF-heavy read_table(spread=True) paths (where per-row JVM
+        # compute dominates and full core-count fan-out wins), the parse
+        # path pays a fixed Python-worker/Arrow-batch cost per task, so it
+        # wants FEWER, FULLER partitions: ~256 KB of this table ~= 7k rows
+        # ~= a healthy Arrow batch. Measured at sf1.0 (50k rows, 1-file
+        # cache): as-is 1.3-1.7 s, repartition(32) 1.3-1.9 s,
+        # repartition(8) 0.84-0.98 s for the e2e minute aggregate. The
+        # target scales with bytes and is capped at the session's cores,
+        # so bigger inputs converge to plain core-count fan-out.
         try:
             total, units = _scan_spread_units(cache)
-            if total < SPREAD_MAX_BYTES and units < n:
+            n = min(
+                spark.sparkContext.defaultParallelism,
+                max(1, (total + (256 << 10) - 1) // (256 << 10)),
+            )
+            if total < SPREAD_MAX_BYTES and units != n:
                 df = df.repartition(n)
         except OSError:
             pass
