@@ -27,19 +27,22 @@ from abs_log_spark.streaming import merge_stream_partials, run_stream_foreach_ba
 
 @register("streaming_minute_agg_fb", _PIPELINE_E2E_SQL)
 def streaming_minute_agg_fb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Micro-batched streaming pipeline vs the batch oracle: 16-file input,
-    maxFilesPerTrigger=8 => 2 micro-batches whose histogram partials must
+    """Micro-batched streaming pipeline vs the batch oracle: multi-file
+    input, maxFilesPerTrigger=half => 2 micro-batches whose partials must
     merge to EXACTLY the single-pass aggregate — including the exact
     quantile columns, which now survive the cross-batch merge (the oracle
-    is the identical closed-form SQL the batch flagship uses). 16/8, not
-    the round-5 4/2: a parquet file is the micro-batch scan's split unit,
-    so 2 files per trigger capped each batch's Arrow-parse stage at 2 cores;
-    8 files per trigger keeps the SAME two-micro-batch shape while the
-    parse uses 8 (merged output identical — the fold is batch-agnostic)."""
+    is the identical closed-form SQL the batch flagship uses). The file
+    count is SIZE-ADAPTIVE (round 6): a parquet file is the micro-batch
+    scan's split unit, so the round-5 fixed 4-file/2-per-trigger layout
+    capped each batch's Arrow-parse stage at 2 cores regardless of data
+    size — now 2x the rebalanced sequences partition count, clamped to
+    [4, 16], always split into exactly TWO micro-batches (trigger =
+    half the files; merged output is batch-agnostic, oracle unchanged)."""
     work = tempfile.mkdtemp(prefix="abslog_stream_q_")
     input_dir = os.path.join(work, "input")
     seq = sequences_from_documents(spark, sf_dir)
-    seq.repartition(16).write.parquet(input_dir)
+    n_files = max(4, min(16, 2 * seq.rdd.getNumPartitions()))
+    seq.repartition(n_files).write.parquet(input_dir)
 
     cat = Catalog(root=os.path.join(work, "wh"))
     dim = gen_sources_dim(spark, n_sources=20)
@@ -50,7 +53,7 @@ def streaming_minute_agg_fb(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim,
         checkpoint_dir=os.path.join(work, "ckpt"),
         cfg=PipelineConfig(),
-        max_files_per_trigger=8,
+        max_files_per_trigger=n_files // 2,
     )
     q.awaitTermination()
 
@@ -136,9 +139,12 @@ def streaming_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="abslog_stream_w_")
     input_dir = os.path.join(work, "input")
-    # 16 files, not 4: the single availableNow batch scans one file per
-    # task, so the file count IS the parse stage's parallelism
-    sequences_from_documents(spark, sf_dir).repartition(16).write.parquet(input_dir)
+    # size-adaptive file count (see streaming_minute_agg_fb): the single
+    # availableNow batch scans one file per task, so the file count IS the
+    # parse stage's parallelism — but 16 sub-MB files are pure overhead
+    seq = sequences_from_documents(spark, sf_dir)
+    n_files = max(4, min(16, 2 * seq.rdd.getNumPartitions()))
+    seq.repartition(n_files).write.parquet(input_dir)
 
     agg = streaming_minute_agg(
         read_sequence_stream(spark, input_dir), gen_sources_dim(spark, n_sources=20)

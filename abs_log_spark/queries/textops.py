@@ -128,7 +128,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     abs_log_spark.multimodal), metadata checked against byte-level SQL."""
     from abs_log_spark.multimodal import attach_payload, extract_features
 
-    docs = read_table(spark, sf_dir, "documents", spread=True)
+    # no spread: the mapInPandas stage pays a fixed Python-worker cost per
+    # task, and fanning a sub-MB payload table out to more tasks measured
+    # WORSE at sf0.1 (0.35 -> 0.6 s warm) for no sf1.0 gain
+    docs = read_table(spark, sf_dir, "documents")
     return extract_features(attach_payload(docs))
 
 
@@ -148,7 +151,10 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary-derived out); byte-level md5 checked against the oracle."""
     from abs_log_spark.multimodal import attach_payload, resize_images
 
-    docs = read_table(spark, sf_dir, "documents", spread=True)
+    # no spread: the mapInPandas stage pays a fixed Python-worker cost per
+    # task, and fanning a sub-MB payload table out to more tasks measured
+    # WORSE at sf0.1 (0.35 -> 0.6 s warm) for no sf1.0 gain
+    docs = read_table(spark, sf_dir, "documents")
     return resize_images(attach_payload(docs), width=32, height=8)
 
 
@@ -174,7 +180,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked against the oracle."""
     from abs_log_spark.multimodal import attach_payload, sample_frames
 
-    docs = read_table(spark, sf_dir, "documents", spread=True)
+    # no spread: the mapInPandas stage pays a fixed Python-worker cost per
+    # task, and fanning a sub-MB payload table out to more tasks measured
+    # WORSE at sf0.1 (0.35 -> 0.6 s warm) for no sf1.0 gain
+    docs = read_table(spark, sf_dir, "documents")
     return sample_frames(attach_payload(docs), every=2)
 
 

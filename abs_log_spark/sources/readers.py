@@ -38,6 +38,14 @@ TABLES = (
 #: payload shuffle for nothing).
 SPREAD_MAX_BYTES = int(os.environ.get("ABSLOG_SPREAD_MAX_BYTES", str(256 << 20)))
 
+#: Per-partition byte target for ``spread``: partitions = bytes / target,
+#: capped at the session's core count. Sized from a core-count sweep at two
+#: scales (sf0.1 ~590 KB docs: n=8 beat n=32 on every regressed query —
+#: 32-way repartition of a sub-MB table is pure task overhead; sf1.0
+#: ~5.9 MB: the cap keeps full core fan-out, which measured best). Tiny
+#: fixtures (sf0.01, 59 KB) yield n=1 and skip the shuffle entirely.
+SPREAD_TARGET_BYTES = int(os.environ.get("ABSLOG_SPREAD_TARGET_BYTES", str(64 << 10)))
+
 
 def _scan_spread_units(path: str) -> tuple[int, int]:
     """(total_bytes, splittable_units) for a parquet file or directory.
@@ -82,21 +90,26 @@ def read_table(
     cores regardless of ``maxPartitionBytes``. The repartition shuffles a
     few MB once to unlock N-way compute (guide §2.3: shuffle small bytes to
     move the work, not the other way around). Scale-adaptive on both axes:
-    partition count = ``defaultParallelism`` (never a tuned constant), and
-    tables that are big enough to carry their own parallelism
-    (>= SPREAD_MAX_BYTES, or >= cores row groups / files) are left alone,
-    so on a real multi-TB table this is exactly the plain scan.
+    partition count = bytes / SPREAD_TARGET_BYTES capped at
+    ``defaultParallelism`` (never a tuned constant — sub-MB tables get a
+    handful of partitions, anything over ~2 MB/core gets full core
+    fan-out), and tables big enough to carry their own parallelism
+    (>= SPREAD_MAX_BYTES, or >= target row groups / files) are left
+    alone, so on a real multi-TB table this is exactly the plain scan.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if spread:
-        n = spark.sparkContext.defaultParallelism
         try:
             total, units = _scan_spread_units(path)
         except OSError:
             return df
+        n = min(
+            spark.sparkContext.defaultParallelism,
+            max(1, (total + SPREAD_TARGET_BYTES - 1) // SPREAD_TARGET_BYTES),
+        )
         if total < SPREAD_MAX_BYTES and units < n:
-            df = df.repartition(n)
+            df = df.repartition(int(n))
     return df
 
 
